@@ -1,0 +1,176 @@
+"""BM25 scoring + top-k as a declarative Spark plan (the relational path).
+
+Semantics pinned to the reference's in-memory implementation — the one
+its unit tests execute (SURVEY §0.1 impl (1)):
+
+    score(D, Q) = Σ_{t in Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    idf(t)      = ln((N − df + 0.5) / (df + 0.5))        # may be negative
+    k1 = 1.2, b = 0.75                                   # bm25_indexer.py:32-33
+
+Reference quirks preserved:
+- query terms are a LIST — a term repeated in the query contributes once
+  per occurrence (bm25_indexer.py:332 ``for term in query_terms``); we
+  fold duplicates into a qtf multiplier (same sum, one join).
+- df == 0 → term contributes 0 (calculate_bm25_term_score early return).
+- dl == 0 → doc scores 0 (bm25_indexer.py:327-329) — automatic here,
+  since such docs have no postings.
+- tie-break: the reference leaves ordering of equal scores undefined; we
+  fix (score DESC, doc_id ASC) on both engine and oracle (SURVEY §0.1).
+
+Scale shape: query terms + their (df, idf) are tiny → broadcast; the
+only big-data operand is the postings relation filtered by term
+(partition-prunable when the index is bucketed by hash(term) — see
+operators/postings.py). The per-doc SUM is a hash aggregate with
+map-side partials; top-k is TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import B_DEFAULT, K1_DEFAULT
+from ..functions.text import py_tokenize
+from .termindex import (
+    collection_stats,
+    document_stats,
+    idf_expr,
+    term_frequencies,
+    vocabulary,
+)
+
+
+def query_term_weights(
+    spark: SparkSession, query_terms: Sequence[str]
+) -> DataFrame:
+    """(term, qtf) — list semantics folded into a multiplicity column."""
+    counts = Counter(query_terms)
+    rows = [(t, int(c)) for t, c in sorted(counts.items())]
+    if not rows:
+        rows = []
+    return spark.createDataFrame(rows, "term string, qtf long")
+
+
+def bm25_scores(
+    tf: DataFrame,
+    vocab: DataFrame,
+    doc_stats: DataFrame,
+    cstats: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching ≥1 query term.
+
+    ``tf``: (doc_id, term, tf); ``vocab``: (term, document_frequency, _);
+    ``doc_stats``: (doc_id, total_terms, ...); ``cstats``: singleton.
+    """
+    spark = tf.sparkSession
+    qdf = query_term_weights(spark, query_terms)
+
+    # Tiny per-term side: query terms ⋈ vocabulary ⋈ collection scalars.
+    qterm = (
+        vocab.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "term",
+            "qtf",
+            idf_expr(F.col("document_frequency"), F.col("total_documents")).alias(
+                "idf"
+            ),
+            F.col("avg_document_length").alias("avgdl"),
+        )
+    )
+
+    matched = tf.join(F.broadcast(qterm), "term")
+    with_dl = matched.join(
+        doc_stats.select("doc_id", F.col("total_terms").alias("dl")), "doc_id"
+    )
+    term_score = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    return with_dl.groupBy("doc_id").agg(F.sum(term_score).alias("score"))
+
+
+def topk(scores: DataFrame, k: int, round_digits: int | None = None) -> DataFrame:
+    """Deterministic top-k: (score DESC, doc_id ASC), optional rounding.
+
+    Rounding (default off) is used by the oracle-comparison harness so
+    float summation-order noise (~1e-15) can't flip boundary rows: the
+    sort key is the ROUNDED score on both engine and oracle.
+    """
+    if round_digits is not None:
+        scores = scores.select(
+            "doc_id", F.round(F.col("score"), round_digits).alias("score")
+        )
+    return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def hydrate(topk_df: DataFrame, docs: DataFrame, doc_cols: Sequence[str]) -> DataFrame:
+    """Join top-k ids back to the docs table (reference Q10).
+
+    The k-row side broadcasts; the docs scan prunes to the join keys.
+    """
+    return (
+        docs.select("doc_id", *doc_cols)
+        .join(F.broadcast(topk_df), "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_digits: int | None = None,
+    min_token_length: int = 2,
+) -> DataFrame:
+    """End-to-end BM25 over a raw docs DataFrame (index built inline).
+
+    This is the correctness-gate path: it recomputes tf/vocab/stats from
+    the corpus each call. Production uses the persisted bucketed index
+    (operators/postings.py) instead.
+    """
+    terms = py_tokenize(query, min_token_length=min_token_length)
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col,
+                          min_token_length=min_token_length)
+    ds = document_stats(tf)
+    vocab = vocabulary(tf)
+    cs = collection_stats(docs, ds)
+    scores = bm25_scores(tf, vocab, ds, cs, terms, k1=k1, b=b)
+    return topk(scores, k, round_digits=round_digits)
+
+
+def like_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference's shipping fallback search (Q7): substring match of
+    the space-joined terms, constant score 1.0, LIMIT k
+    (database_search_service.py:105-161)."""
+    needle = " ".join(query_terms)
+    return (
+        docs.filter(F.col(text_col).contains(needle))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(1.0).alias("score"),
+        )
+        .orderBy(F.col("doc_id").asc())
+        .limit(k)
+    )

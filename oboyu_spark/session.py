@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the oboyu_spark engine.
+
+Local mode is the test/bench target (single JVM); the configs are chosen
+so the same code lays out a scale-ready plan on a real cluster:
+AQE on (runtime re-plan + skew-join handling), shuffle partitions sized
+to cores locally (would be ~2-3x total cores on a cluster), Arrow
+enabled for the pandas-UDF paths, UTC session timezone so results are
+comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "oboyu_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "16g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle
+    partitions default to the core count (local mode rule of thumb;
+    AQE coalesces downward when partitions are tiny).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        if isinstance(cores, int) or (isinstance(cores, str) and cores.isdigit()):
+            shuffle_partitions = max(int(cores), 4)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
