@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: oboyu_spark — a from-scratch PySpark-native rebuild of the
+reference's BM25 full-text path (see SURVEY.md §2 for the operator
+inventory each entry maps to). Float outputs are rounded to 6 decimals
+on BOTH sides so cross-engine libm noise cannot break value hashes.
 """
 
 from __future__ import annotations
@@ -12,27 +16,136 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from oboyu_spark.operators import bm25 as B
+from oboyu_spark.operators import termindex as TI
+from oboyu_spark.plans import oracle_sql as O
+
+ROUND = O.ROUND
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables (SURVEY §2 operator → entry)
+# ---------------------------------------------------------------------------
+
+def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1+T4: tokenize + term-frequency (explode + hash aggregate)
+    return TI.term_frequencies(_docs(spark, sf_dir))
+
+
+def _q_document_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1+A6: per-doc length / unique terms / avg tf
+    ds = TI.document_stats(TI.term_frequencies(_docs(spark, sf_dir)))
+    return ds.select(
+        "doc_id",
+        "total_terms",
+        "unique_terms",
+        F.round("avg_term_frequency", ROUND).alias("avg_term_frequency"),
+    )
+
+
+def _q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2+A3: document/collection frequency per term
+    return TI.vocabulary(TI.term_frequencies(_docs(spark, sf_dir)))
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4: collection totals (N counts token-empty docs too)
+    docs = _docs(spark, sf_dir)
+    cs = TI.collection_stats(docs, TI.document_stats(TI.term_frequencies(docs)))
+    return cs.select(
+        "total_documents",
+        "total_terms",
+        F.round("avg_document_length", ROUND).alias("avg_document_length"),
+    )
+
+
+def _q_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: ln-IDF per vocabulary term
+    docs = _docs(spark, sf_dir)
+    tf = TI.term_frequencies(docs)
+    idf = TI.idf_scores(
+        TI.vocabulary(tf), TI.collection_stats(docs, TI.document_stats(tf))
+    )
+    return idf.select("term", F.round("idf", ROUND).alias("idf"))
+
+
+BM25_Q1 = "spark query join table"
+BM25_Q2 = "customer order group stream"
+BM25_Q3 = "fast fast scan"  # duplicate term → list semantics (qtf=2)
+LIKE_TERMS = ["fast", "table"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q1-Q5: full BM25 top-k pipeline
+    return B.bm25_search(_docs(spark, sf_dir), BM25_Q1, k=20, round_digits=ROUND)
+
+
+def _q_bm25_topk_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.bm25_search(_docs(spark, sf_dir), BM25_Q2, k=20, round_digits=ROUND)
+
+
+def _q_bm25_topk_dup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.bm25_search(_docs(spark, sf_dir), BM25_Q3, k=20, round_digits=ROUND)
+
+
+def _q_bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q10: hydrate top-k back to document content
+    docs = _docs(spark, sf_dir)
+    top = B.bm25_search(docs, BM25_Q1, k=10, round_digits=ROUND)
+    return B.hydrate(top, docs, ["text", "lang"])
+
+
+def _q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7: reference's shipping LIKE-fallback search
+    return B.like_search(_docs(spark, sf_dir), LIKE_TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hydrated BM25 top-k over sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    top = B.bm25_search(docs, BM25_Q1, k=10, round_digits=ROUND)
+    return B.hydrate(top, docs, ["text", "lang"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_frequencies": _q_term_frequencies,
+        "document_stats": _q_document_stats,
+        "vocabulary": _q_vocabulary,
+        "collection_stats": _q_collection_stats,
+        "idf_scores": _q_idf_scores,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_2": _q_bm25_topk_2,
+        "bm25_topk_dup_terms": _q_bm25_topk_dup_terms,
+        "bm25_hydrated": _q_bm25_hydrated,
+        "like_search": _q_like_search,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_frequencies": O.term_frequencies_sql(),
+        "document_stats": O.document_stats_sql(),
+        "vocabulary": O.vocabulary_sql(),
+        "collection_stats": O.collection_stats_sql(),
+        "idf_scores": O.idf_scores_sql(),
+        "bm25_topk": O.bm25_topk_sql(BM25_Q1, k=20),
+        "bm25_topk_2": O.bm25_topk_sql(BM25_Q2, k=20),
+        "bm25_topk_dup_terms": O.bm25_topk_sql(BM25_Q3, k=20),
+        "bm25_hydrated": f"""
+WITH top AS ({O.bm25_topk_sql(BM25_Q1, k=10)})
+SELECT d.doc_id, top.score, d.text, d.lang
+FROM documents d JOIN top ON d.doc_id = top.doc_id""",
+        "like_search": O.like_search_sql(LIKE_TERMS, k=20),
+    }

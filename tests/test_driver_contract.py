@@ -1,0 +1,96 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over sf0.01, compare
+row-count + column names + cell values (order-insensitive, exact)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize cell types: ints as int64 where possible, floats rounded
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb  # exact — both sides round to 6dp already
+    return a == b
+
+
+def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {list(spark_pdf.columns)} vs {list(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rowcount {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    mism = []
+    for i in range(len(a)):
+        for c in a.columns:
+            if not _cells_equal(a.iloc[i][c], b.iloc[i][c]):
+                mism.append((i, c, a.iloc[i][c], b.iloc[i][c]))
+                if len(mism) > 5:
+                    break
+        if len(mism) > 5:
+            break
+    assert not mism, f"{name}: value mismatches {mism}"
+
+
+def _entry_names():
+    import __spark_entry__ as E
+
+    return sorted(E.queries().keys())
+
+
+@pytest.mark.parametrize("name", _entry_names())
+def test_query_vs_oracle(spark, ddb, name):
+    import __spark_entry__ as E
+
+    q = E.queries()[name]
+    sql = E.oracle_sql().get(name)
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert len(spark_pdf) >= 0  # rows-only check
+        return
+    duck_pdf = ddb.sql(sql).df()
+    _compare(name, spark_pdf, duck_pdf)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "doc_id" in df.columns and "score" in df.columns
