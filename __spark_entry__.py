@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from oboyu_spark.operators import bm25 as B
 from oboyu_spark.operators import termindex as TI
 from oboyu_spark.plans import oracle_sql as O
+from oboyu_spark.sources.transcripts import transcripts_from_documents, turns_as_docs
 
 ROUND = O.ROUND
 
@@ -106,6 +107,49 @@ def _q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.like_search(_docs(spark, sf_dir), LIKE_TERMS, k=20)
 
 
+def _turn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents reshaped to transcript turns (north-rule input shape)."""
+    return turns_as_docs(transcripts_from_documents(_docs(spark, sf_dir)))
+
+
+def _q_transcripts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 over per-turn docs keyed by conv_id#turn_idx
+    return B.bm25_search(_turn_docs(spark, sf_dir), BM25_Q1, k=20, round_digits=ROUND)
+
+
+def _q_transcripts_role_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8: role filter applied pre-limit over full-corpus scores
+    from oboyu_spark.functions.text import py_tokenize
+
+    docs = _turn_docs(spark, sf_dir)
+    terms = py_tokenize(BM25_Q2)
+    tf = TI.term_frequencies(docs)
+    ds = TI.document_stats(tf)
+    scores = B.bm25_scores(
+        tf, TI.vocabulary(tf), ds, TI.collection_stats(docs, ds), terms
+    )
+    filtered = scores.join(docs.select("doc_id", "role"), "doc_id").filter(
+        F.col("role") == "user"
+    )
+    return B.topk(filtered.select("doc_id", "score"), 20, round_digits=ROUND)
+
+
+DATE_START, DATE_END = "2025-01-01 01:00:00", "2025-01-01 05:00:00"
+
+
+def _q_transcripts_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9: date-range filter + per-role rollup
+    td = _turn_docs(spark, sf_dir)
+    return (
+        td.filter(
+            (F.col("ts") >= F.lit(DATE_START).cast("timestamp"))
+            & (F.col("ts") < F.lit(DATE_END).cast("timestamp"))
+        )
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -130,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_dup_terms": _q_bm25_topk_dup_terms,
         "bm25_hydrated": _q_bm25_hydrated,
         "like_search": _q_like_search,
+        "transcripts_bm25": _q_transcripts_bm25,
+        "transcripts_role_bm25": _q_transcripts_role_bm25,
+        "transcripts_date_range": _q_transcripts_date_range,
     }
 
 
@@ -148,4 +195,9 @@ WITH top AS ({O.bm25_topk_sql(BM25_Q1, k=10)})
 SELECT d.doc_id, top.score, d.text, d.lang
 FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "like_search": O.like_search_sql(LIKE_TERMS, k=20),
+        "transcripts_bm25": O.transcripts_bm25_topk_sql(BM25_Q1, k=20),
+        "transcripts_role_bm25": O.transcripts_role_filter_bm25_sql(
+            BM25_Q2, "user", k=20
+        ),
+        "transcripts_date_range": O.transcripts_date_range_sql(DATE_START, DATE_END),
     }

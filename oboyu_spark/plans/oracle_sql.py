@@ -129,6 +129,83 @@ ORDER BY round(score, {ROUND}) DESC, doc_id ASC
 LIMIT {k}"""
 
 
+TRANSCRIPTS_CTE = """
+transcripts AS (
+  SELECT printf('conv_%04d', (doc_id % 97)::INT) AS conv_id,
+         (doc_id // 97)::INT AS turn_idx,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text,
+         NULL AS tool,
+         TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+  FROM documents
+),
+turn_docs AS (
+  SELECT conv_id || '#' || turn_idx::VARCHAR AS doc_id, text, role, tool, ts
+  FROM transcripts
+)"""
+
+
+def _bm25_scored_cte(query: str, k1: float = 1.2, b: float = 0.75) -> str:
+    """scored(doc_id, score) over a pre-existing tf/dl/vocab-free corpus
+    named turn_docs(doc_id, text, ...)."""
+    return f"""
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}')) AS term
+  FROM turn_docs
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE length(term) >= {MIN_TOKEN_LENGTH} GROUP BY doc_id, term
+),
+q AS ({_query_values(query)}),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+c AS (SELECT (SELECT count(*) FROM turn_docs)::DOUBLE AS n,
+             (SELECT coalesce(sum(tf),0) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM turn_docs) AS avgdl),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / c.avgdl)))) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN c
+  GROUP BY tf.doc_id
+)"""
+
+
+def transcripts_bm25_topk_sql(query: str, k: int = 10) -> str:
+    """BM25 top-k over per-turn documents derived from ``documents``."""
+    return f"""WITH {TRANSCRIPTS_CTE}, {_bm25_scored_cte(query)}
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM scored
+ORDER BY round(score, {ROUND}) DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def transcripts_role_filter_bm25_sql(query: str, role: str, k: int = 10) -> str:
+    """Q8 analog: score on the FULL corpus, filter by role PRE-limit
+    (documented deviation from the reference's post-limit quirk)."""
+    return f"""WITH {TRANSCRIPTS_CTE}, {_bm25_scored_cte(query)}
+SELECT s.doc_id, round(s.score, {ROUND}) AS score
+FROM scored s JOIN turn_docs d ON s.doc_id = d.doc_id
+WHERE d.role = '{role}'
+ORDER BY round(s.score, {ROUND}) DESC, s.doc_id ASC
+LIMIT {k}"""
+
+
+def transcripts_date_range_sql(start: str, end: str) -> str:
+    """Q9 analog: date-range filter + per-role rollup."""
+    return f"""WITH {TRANSCRIPTS_CTE}
+SELECT role, count(*)::BIGINT AS n_turns
+FROM turn_docs
+WHERE ts >= TIMESTAMP '{start}' AND ts < TIMESTAMP '{end}'
+GROUP BY role"""
+
+
 def like_search_sql(terms: list[str], k: int = 10, table: str = "documents") -> str:
     needle = " ".join(terms).replace("'", "''")
     return f"""SELECT doc_id, 1.0::DOUBLE AS score
