@@ -1,0 +1,209 @@
+"""Query engine over the compressed doc-sharded index (scatter-gather).
+
+Plan shape per batch of queries:
+
+1. driver: tokenize queries (same tokenizer as the build — reference
+   tokenizer.py:374-376), slice the vocabulary for the union of query
+   terms (parquet scan with an IN-pushed filter → a few rows), compute
+   idf per term driver-side (tiny), broadcast.
+2. scatter: read postings parquet filtered to query terms (row-group
+   pruning via term min/max — rows are sorted by term within each
+   shard), group by shard, score inside a vectorized Arrow UDF:
+   dense-accumulator term-at-a-time (TAAT) scoring — shard-local doc
+   ids are contiguous (range sharding), so the accumulator is a flat
+   float64 array and each posting costs one vectorized add. Each shard
+   emits its local top-k with the global tie-break.
+3. gather: global top-k per query (window over ≤ shards×k rows), then
+   restore original doc keys via the docmap.
+
+Exactness: TAAT scores every matched posting — results match the
+relational plan bit-for-bit up to float summation order (tests compare
+at 1e-9 and rank-identical). The block-max WAND scorer (wand.py) is the
+pruned alternative; both must agree exactly on fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import py_tokenize
+from .codec import decode_doc_ids, decode_varbyte
+from .postings import load_meta
+
+RESULT_SCHEMA = "query_id int, doc_int long, score double"
+
+
+def _query_maps(queries: Sequence[str], min_token_length: int):
+    """qid -> [(term, qtf)], and the union term set."""
+    qmap: dict[int, list[tuple[str, int]]] = {}
+    all_terms: set[str] = set()
+    for qid, q in enumerate(queries):
+        terms = py_tokenize(q, min_token_length=min_token_length)
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        qmap[qid] = sorted(counts.items())
+        all_terms.update(counts)
+    return qmap, sorted(all_terms)
+
+
+def _decode_rows(pdf: pd.DataFrame, base: int):
+    """term -> list of (local_ids int64, wtf float64) chunks, each
+    sorted by doc id (chunks are salt ranges, mutually disjoint)."""
+    decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    order = pdf.sort_values(["term", "salt"])
+    for r in order.itertuples():
+        ids = decode_doc_ids(r.gaps).astype(np.int64) - base
+        wtf = np.asarray(r.wtf, dtype=np.float64)
+        decoded.setdefault(r.term, []).append((ids, wtf))
+    return decoded
+
+
+def make_taat_scorer(
+    qmap: dict[int, list[tuple[str, int]]],
+    idf_map: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    shard_size: int,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        base = shard * shard_size
+        # decode once per (term, salt) row; precompute the tf-part
+        pdf = pdf.assign(
+            wtf=[
+                _wtf(decode_varbyte(t), decode_varbyte(d), k1, b, avgdl)
+                for t, d in zip(pdf["tfs"], pdf["dls"])
+            ]
+        )
+        decoded = _decode_rows(pdf, base)
+        out_q: list[int] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        acc = np.zeros(shard_size, dtype=np.float64)
+        touched = np.zeros(shard_size, dtype=bool)
+        for qid, qterms in qmap.items():
+            acc[:] = 0.0
+            touched[:] = False
+            hit = False
+            for term, qtf in qterms:
+                idf = idf_map.get(term)
+                if idf is None:
+                    continue
+                w = qtf * idf
+                for ids, wtf in decoded.get(term, []):
+                    acc[ids] += w * wtf
+                    touched[ids] = True
+                    hit = True
+            if not hit:
+                continue
+            cand = np.flatnonzero(touched)
+            s = acc[cand]
+            # deterministic local top-k: (score desc, doc asc)
+            order = np.lexsort((cand, -s))[:k]
+            out_q.append(qid)
+            out_d.append(cand[order] + base)
+            out_s.append(s[order])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int32"),
+                 "doc_int": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    np.array(out_q, dtype=np.int32),
+                    [d.size for d in out_d],
+                ),
+                "doc_int": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return score_shard
+
+
+def _wtf(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float):
+    t = tfs.astype(np.float64)
+    d = dls.astype(np.float64)
+    return t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * (d / avgdl)))
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: str | Sequence[str],
+    k: int = 10,
+    scorer: str = "taat",
+) -> DataFrame:
+    """Top-k over the persisted index. Returns
+    (query_id, doc_id <original key>, score), globally tie-broken
+    (score desc, doc_id asc per query)."""
+    if isinstance(queries, str):
+        queries = [queries]
+    meta = load_meta(index_dir)
+    k1, b = meta["k1"], meta["b"]
+    avgdl, n_docs = meta["avgdl"], meta["n_docs"]
+    shard_size = meta["shard_size"]
+    qmap, all_terms = _query_maps(queries, meta["min_token_length"])
+
+    empty = spark.createDataFrame(
+        [], "query_id int, doc_id string, score double"
+    )
+    if not all_terms or n_docs == 0 or avgdl <= 0:
+        return empty
+
+    vocab = (
+        spark.read.parquet(f"{index_dir}/vocabulary")
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    )
+    idf_map = {
+        r["term"]: math.log(
+            (n_docs - r["document_frequency"] + 0.5)
+            / (r["document_frequency"] + 0.5)
+        )
+        for r in vocab
+    }
+    if not idf_map:
+        return empty
+
+    live_terms = [t for t in all_terms if t in idf_map]
+    postings = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("term").isin(live_terms)
+    )
+
+    if scorer == "taat":
+        fn = make_taat_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size)
+    elif scorer == "bmw":
+        from .wand import make_bmw_scorer
+
+        fn = make_bmw_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size)
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+
+    local = postings.groupBy("shard").applyInPandas(fn, schema=RESULT_SCHEMA)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_int").asc()
+    )
+    top = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    docmap = spark.read.parquet(f"{index_dir}/docmap").select("doc_int", "doc_id")
+    return (
+        docmap.join(F.broadcast(top), "doc_int")
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )

@@ -106,10 +106,14 @@ class PyBM25:
             min_token_length=self.min_token_length,
             stop_words=self.stop_words,
         )
+        # Matched docs = docs sharing >=1 query term — ranked even when
+        # the summed score is 0 or negative (SQL-spec semantics:
+        # consolidated_queries.py:399-402 ranks every matched chunk).
+        tset = set(terms)
         scored = []
-        for doc_id in self.doc_tfs:
-            s = self.score(terms, doc_id)
-            if s != 0.0:
-                scored.append((doc_id, s))
+        for doc_id, tfs in self.doc_tfs.items():
+            if tset.isdisjoint(tfs):
+                continue
+            scored.append((doc_id, self.score(terms, doc_id)))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]

@@ -1,0 +1,121 @@
+"""Compressed-index build + scatter-gather search: round-trip vs the
+relational rows, salting/sharding behavior, rank+score identity vs the
+oracle, and build metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oboyu_spark.operators import termindex as TI
+from oboyu_spark.operators.codec import decode_doc_ids, decode_varbyte
+from oboyu_spark.operators.postings import build_index, load_meta
+from oboyu_spark.operators.searchidx import search_index
+from oboyu_spark.oracle.pybm25 import PyBM25
+from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
+
+QUERIES = [
+    "spark index search",
+    "検索 索引",
+    "分散 shuffle partition engine",
+    "圧縮 varbyte posting",
+    "missing_term_xyz",
+    "spark spark query",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    tr = synthesize_transcripts(spark, n_convs=80, max_turns=10, seed=42)
+    return turns_as_docs(tr).select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    # tiny shard/salt sizes to force multi-shard + salting paths
+    meta = build_index(corpus, d, shard_size=100, salt_chunk=50,
+                       id_assign_partitions=4)
+    assert meta["n_docs"] == corpus.count()
+    return d
+
+
+def test_meta_metrics(index_dir):
+    meta = load_meta(index_dir)
+    assert meta["n_postings"] > 0
+    assert meta["posting_rows"] > 0
+    assert meta["compressed_payload_bytes"] > 0
+    assert meta["docs_per_sec"] > 0
+    assert meta["avgdl"] > 0
+
+
+def test_sharding_and_salting(spark, index_dir):
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    assert postings.select("shard").distinct().count() > 1
+    # hot terms (df > salt_chunk=50) must be split into >1 salt chunk
+    hot = postings.filter(F.col("df") > 50)
+    assert hot.count() > 0
+    max_salts = (
+        hot.groupBy("shard", "term").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_salts > 1, "expected salted chunks for high-df terms"
+    # chunk sizes bounded: no group hugely over salt target within shard
+    assert postings.agg(F.max("n")).collect()[0][0] <= 100  # <= shard_size
+
+
+def test_decode_roundtrip_vs_relational(spark, corpus, index_dir):
+    """Decompressed postings == the relational (doc, term, tf) rows."""
+    from oboyu_spark.operators.ids import assign_dense_ids
+
+    postings = spark.read.parquet(f"{index_dir}/postings").collect()
+    got = {}
+    meta = load_meta(index_dir)
+    for r in postings:
+        ids = decode_doc_ids(bytes(r["gaps"])).tolist()
+        tfs = decode_varbyte(bytes(r["tfs"])).tolist()
+        dls = decode_varbyte(bytes(r["dls"])).tolist()
+        assert len(ids) == r["n"] == len(tfs) == len(dls)
+        assert ids == sorted(ids)
+        # block metadata shape
+        n_blocks = (r["n"] + 127) // 128
+        assert len(r["block_last"]) == n_blocks == len(r["block_maxw"])
+        assert r["block_last"][-1] == ids[-1]
+        for d, t in zip(ids, tfs):
+            got[(r["term"], d)] = got.get((r["term"], d), 0) + t
+
+    docmap = {
+        r["doc_id"]: r["doc_int"]
+        for r in spark.read.parquet(f"{index_dir}/docmap").collect()
+    }
+    tf_rows = TI.term_frequencies(corpus).collect()
+    expected = {(r["term"], docmap[r["doc_id"]]): r["tf"] for r in tf_rows}
+    assert got == expected
+
+
+def test_search_matches_oracle(spark, corpus, index_dir):
+    docs_local = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    oracle = PyBM25()
+    oracle.index(docs_local)
+
+    res = search_index(spark, index_dir, QUERIES, k=12).collect()
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in enumerate(QUERIES):
+        exp = oracle.search(q, k=12)
+        got = by_q.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-9), q
+
+
+def test_search_single_query_string(spark, index_dir):
+    res = search_index(spark, index_dir, "spark index", k=5).collect()
+    assert 0 < len(res) <= 5
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_no_matching_terms(spark, index_dir):
+    assert search_index(spark, index_dir, "zzz qqq", k=5).count() == 0

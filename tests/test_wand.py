@@ -1,0 +1,103 @@
+"""Block-max WAND exactness: scorer="bmw" must equal scorer="taat"
+(and the oracle) on every fixture — including negative-IDF fallback
+queries, tie-heavy corpora, and k smaller/larger than match counts."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from oboyu_spark.operators.postings import build_index
+from oboyu_spark.operators.searchidx import search_index
+from oboyu_spark.oracle.pybm25 import PyBM25
+from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    tr = synthesize_transcripts(spark, n_convs=80, max_turns=10, seed=7)
+    return turns_as_docs(tr).select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idxw"))
+    build_index(corpus, d, shard_size=120, salt_chunk=60, id_assign_partitions=4)
+    return d
+
+
+QUERIES = [
+    "spark index search engine",        # common terms → negative idf → fallback
+    "圧縮 varbyte",                      # selective
+    "検索 索引 分散",                    # JP mix
+    "posting merge compress block 統計",  # many terms
+    "spark",                             # single hot term
+    "評価 構築 抽出",                    # selective JP
+]
+
+
+def _by_query(rows):
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_bmw_equals_taat(spark, index_dir, k):
+    taat = _by_query(search_index(spark, index_dir, QUERIES, k=k, scorer="taat").collect())
+    bmw = _by_query(search_index(spark, index_dir, QUERIES, k=k, scorer="bmw").collect())
+    assert set(taat) == set(bmw)
+    for qid in taat:
+        assert [d for d, _ in taat[qid]] == [d for d, _ in bmw[qid]], QUERIES[qid]
+        for (_, a), (_, b) in zip(taat[qid], bmw[qid]):
+            assert a == pytest.approx(b, rel=1e-12), QUERIES[qid]
+
+
+def test_bmw_matches_oracle(spark, corpus, index_dir):
+    docs_local = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    oracle = PyBM25()
+    oracle.index(docs_local)
+    got = _by_query(search_index(spark, index_dir, QUERIES, k=15, scorer="bmw").collect())
+    for qid, q in enumerate(QUERIES):
+        exp = oracle.search(q, k=15)
+        assert [d for d, _ in got.get(qid, [])] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got.get(qid, []), exp):
+            assert gs == pytest.approx(es, rel=1e-9), q
+
+
+def test_bmw_unit_against_bruteforce():
+    """Pure-python property check of _bmw_one on random posting lists."""
+    import numpy as np
+
+    from oboyu_spark.operators.wand import _TermList, _bmw_one
+
+    rng = random.Random(1234)
+    for trial in range(40):
+        n_docs = rng.randint(5, 400)
+        n_terms = rng.randint(1, 5)
+        k = rng.choice([1, 3, 10])
+        lists = []
+        brute: dict[int, float] = {}
+        for _ in range(n_terms):
+            df = rng.randint(1, n_docs)
+            ids = np.array(sorted(rng.sample(range(n_docs), df)), dtype=np.int64)
+            wtf = np.array([rng.random() for _ in range(df)])
+            w = rng.random() * 3
+            block = 8
+            nb = (df + block - 1) // block
+            blast = np.array(
+                [ids[min((i + 1) * block, df) - 1] for i in range(nb)], dtype=np.int64
+            )
+            bmaxw = np.array(
+                [wtf[i * block : (i + 1) * block].max() for i in range(nb)]
+            )
+            lists.append(_TermList(ids, wtf, blast, bmaxw, w))
+            for d, x in zip(ids.tolist(), (w * wtf).tolist()):
+                brute[d] = brute.get(d, 0.0) + x
+        expected = sorted(brute.items(), key=lambda x: (-x[1], x[0]))[:k]
+        got = _bmw_one(lists, k)
+        assert [d for d, _ in got] == [d for d, _ in expected], f"trial {trial}"
+        for (_, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12)
