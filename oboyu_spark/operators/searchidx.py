@@ -53,15 +53,20 @@ def _query_maps(queries: Sequence[str], min_token_length: int):
     return qmap, sorted(all_terms)
 
 
-def _decode_rows(pdf: pd.DataFrame, base: int):
+def _decode_rows(pdf: pd.DataFrame, base: int, tomb: np.ndarray | None = None):
     """term -> list of (local_ids int64, wtf float64) chunks, each
-    sorted by doc id (chunks are salt ranges, mutually disjoint)."""
+    sorted by doc id (chunks are salt ranges, mutually disjoint).
+    ``tomb``: sorted global doc ints to mask out (deleted docs)."""
     decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
     order = pdf.sort_values(["term", "salt"])
     for r in order.itertuples():
-        ids = decode_doc_ids(r.gaps).astype(np.int64) - base
+        gids = decode_doc_ids(r.gaps).astype(np.int64)
         wtf = np.asarray(r.wtf, dtype=np.float64)
-        decoded.setdefault(r.term, []).append((ids, wtf))
+        if tomb is not None and tomb.size:
+            keep = ~np.isin(gids, tomb, assume_unique=False)
+            gids = gids[keep]
+            wtf = wtf[keep]
+        decoded.setdefault(r.term, []).append((gids - base, wtf))
     return decoded
 
 
@@ -73,6 +78,7 @@ def make_taat_scorer(
     avgdl: float,
     k: int,
     shard_size: int,
+    tomb: np.ndarray | None = None,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -84,7 +90,7 @@ def make_taat_scorer(
                 for t, d in zip(pdf["tfs"], pdf["dls"])
             ]
         )
-        decoded = _decode_rows(pdf, base)
+        decoded = _decode_rows(pdf, base, tomb)
         out_q: list[int] = []
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
@@ -182,12 +188,19 @@ def search_index(
         F.col("term").isin(live_terms)
     )
 
+    from .postings import load_tombstones
+
+    tomb_set = load_tombstones(index_dir)
+    tomb = (
+        np.array(sorted(tomb_set), dtype=np.int64) if tomb_set else None
+    )
+
     if scorer == "taat":
-        fn = make_taat_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size)
+        fn = make_taat_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size, tomb)
     elif scorer == "bmw":
         from .wand import make_bmw_scorer
 
-        fn = make_bmw_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size)
+        fn = make_bmw_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size, tomb)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
 

@@ -159,19 +159,23 @@ def make_bmw_scorer(
     avgdl: float,
     k: int,
     shard_size: int,
+    tomb: np.ndarray | None = None,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     from .codec import decode_varbyte
+    from .postings import wtf_upper
     from .searchidx import _decode_rows, _wtf
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         base = shard * shard_size
+        # block upper bounds from stats-drift-robust (maxtf, mindl)
+        # metadata, evaluated with the CURRENT k1/b/avgdl
         blasts: dict[str, list] = {}
         for r in pdf.sort_values(["term", "salt"]).itertuples():
             blasts.setdefault(r.term, []).append(
                 (
                     np.asarray(r.block_last, dtype=np.int64) - base,
-                    np.asarray(r.block_maxw, dtype=np.float64),
+                    wtf_upper(r.block_maxtf, r.block_mindl, k1, b, avgdl),
                 )
             )
         pdf = pdf.assign(
@@ -180,7 +184,7 @@ def make_bmw_scorer(
                 for t, d in zip(pdf["tfs"], pdf["dls"])
             ]
         )
-        decoded = _decode_rows(pdf, base)
+        decoded = _decode_rows(pdf, base, tomb)
 
         rows_q: list[int] = []
         rows_d: list[int] = []

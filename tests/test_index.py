@@ -79,8 +79,11 @@ def test_decode_roundtrip_vs_relational(spark, corpus, index_dir):
         assert ids == sorted(ids)
         # block metadata shape
         n_blocks = (r["n"] + 127) // 128
-        assert len(r["block_last"]) == n_blocks == len(r["block_maxw"])
+        assert len(r["block_last"]) == n_blocks == len(r["block_maxtf"])
+        assert len(r["block_mindl"]) == n_blocks
         assert r["block_last"][-1] == ids[-1]
+        assert max(tfs) == max(r["block_maxtf"])
+        assert min(dls) == min(r["block_mindl"])
         for d, t in zip(ids, tfs):
             got[(r["term"], d)] = got.get((r["term"], d), 0) + t
 

@@ -1,0 +1,145 @@
+"""Checkpoint-resume, incremental append, delete + compaction.
+
+north rule: "resumable from checkpoint with per-partition lineage +
+metrics" — a killed build re-run must skip completed partitions and
+converge to the same index as a fresh full build (FIXTURES.md F7)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from oboyu_spark.operators.postings import (
+    append_docs,
+    build_index,
+    compact_index,
+    delete_docs,
+    load_meta,
+)
+from oboyu_spark.operators.searchidx import search_index
+from oboyu_spark.oracle.pybm25 import PyBM25
+from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
+
+QUERIES = ["spark index search", "検索 分散", "posting 圧縮 merge"]
+KW = dict(shard_size=50, salt_chunk=60, shards_per_part=2,
+          id_assign_partitions=4)
+
+
+def _corpus(spark, n_convs=60, seed=11):
+    tr = synthesize_transcripts(spark, n_convs=n_convs, max_turns=8, seed=seed)
+    return turns_as_docs(tr).select("doc_id", "text")
+
+
+def _results(spark, d, k=10, scorer="taat"):
+    rows = search_index(spark, d, QUERIES, k=k, scorer=scorer).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    return out
+
+
+def test_resume_converges_to_fresh_build(spark, tmp_path):
+    docs = _corpus(spark)
+    fresh_dir, resume_dir = str(tmp_path / "fresh"), str(tmp_path / "resume")
+
+    meta_fresh = build_index(docs, fresh_dir, **KW)
+    assert meta_fresh["n_parts"] > 2, "need multiple parts for this test"
+
+    # crash after 1 part, then resume
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(docs, resume_dir, fail_after_parts=1, **KW)
+    done = [f for f in os.listdir(f"{resume_dir}/manifest") if f.endswith(".json")]
+    assert len(done) == 1
+    # index is not finalized yet
+    assert not os.path.exists(f"{resume_dir}/stats/meta.json")
+
+    meta_resumed = build_index(docs, resume_dir, **KW)
+    for key in ["n_docs", "total_terms", "n_postings", "n_vocab_terms",
+                "compressed_payload_bytes", "avgdl"]:
+        assert meta_resumed[key] == meta_fresh[key], key
+    assert _results(spark, resume_dir) == _results(spark, fresh_dir)
+
+
+def test_manifest_lineage_and_metrics(spark, tmp_path):
+    docs = _corpus(spark)
+    d = str(tmp_path / "idx")
+    meta = build_index(docs, d, **KW)
+    rows = []
+    for fn in sorted(os.listdir(f"{d}/manifest")):
+        with open(f"{d}/manifest/{fn}") as fh:
+            rows.append(json.load(fh))
+    assert len(rows) == meta["n_parts"]
+    assert all(r["status"] == "done" for r in rows)
+    assert sum(r["n_docs"] for r in rows) == meta["n_docs"]
+    assert sum(r["n_postings"] for r in rows) == meta["n_postings"]
+    assert all(r["tokens_per_sec"] is not None for r in rows)
+
+
+def test_append_matches_full_rebuild_oracle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = _corpus(spark, n_convs=40, seed=11)
+    # appended keys must not collide with existing ones (API contract)
+    extra = _corpus(spark, n_convs=20, seed=99).select(
+        F.concat(F.lit("x"), "doc_id").alias("doc_id"), "text"
+    )
+    d = str(tmp_path / "idx")
+    build_index(base, d, **KW)
+    meta2 = append_docs(extra, d)
+    assert meta2["n_docs"] == base.count() + extra.count()
+
+    both = [(r["doc_id"], r["text"]) for r in base.collect()] + [
+        (r["doc_id"], r["text"]) for r in extra.collect()
+    ]
+    oracle = PyBM25()
+    oracle.index(both)
+    got = _results(spark, d, k=12)
+    for qid, q in enumerate(QUERIES):
+        exp = oracle.search(q, k=12)
+        assert [x[0] for x in got.get(qid, [])] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(got.get(qid, []), exp):
+            assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
+
+
+def test_delete_then_compact(spark, tmp_path):
+    docs = _corpus(spark, n_convs=40)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, **KW)
+    before = _results(spark, d, k=20)
+    victims = sorted({x[0] for res in before.values() for x in res[:3]})[:4]
+
+    delete_docs(spark, d, victims)
+    after = _results(spark, d, k=20)
+    surviving_pre = {
+        qid: [x for x in res if x[0] not in victims] for qid, res in before.items()
+    }
+    for qid in after:
+        got_docs = [x[0] for x in after[qid]]
+        assert not set(got_docs) & set(victims), "deleted docs must vanish"
+        # surviving docs keep pre-delete scores and order (stats frozen);
+        # docs beyond the old top-20 may now surface — prefix must match
+        exp = surviving_pre[qid]
+        assert after[qid][: len(exp)] == exp
+
+    # both scorers respect tombstones
+    assert _results(spark, d, scorer="bmw", k=20) == after
+
+    # compaction: exact oracle over the surviving corpus
+    compact_index(spark, d)
+    remaining = [
+        (r["doc_id"], r["text"])
+        for r in docs.collect()
+        if r["doc_id"] not in set(victims)
+    ]
+    oracle = PyBM25()
+    oracle.index(remaining)
+    meta = load_meta(d)
+    assert meta["n_docs"] == len(remaining)
+    got = _results(spark, d, k=12)
+    for qid, q in enumerate(QUERIES):
+        exp = oracle.search(q, k=12)
+        assert [x[0] for x in got.get(qid, [])] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(got.get(qid, []), exp):
+            assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
