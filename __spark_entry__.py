@@ -151,6 +151,100 @@ def _q_transcripts_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops (textstats / dedup / similarity / fusion / chunker)
+# ---------------------------------------------------------------------------
+
+QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+RRF_QA, RRF_QB = BM25_Q1, BM25_Q2
+
+
+def _dupdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with injected exact duplicates (SQL twin: DUPDOCS_CTE)."""
+    docs = _docs(spark, sf_dir)
+    dups = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.textstats import text_profile
+
+    return text_profile(_docs(spark, sf_dir))
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_dupdocs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_perm=4)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, QVEC, k=20, round_digits=ROUND)
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.fusion import rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    a = B.bm25_search(docs, RRF_QA, k=20, round_digits=ROUND)
+    b = B.bm25_search(docs, RRF_QB, k=20, round_digits=ROUND)
+    fused = rrf_fuse(a, b, limit=10)
+    return fused.select("doc_id", F.round("score", ROUND).alias("score"))
+
+
+# rows-only entries (non-SQL-expressible: python-hash LSH, chunk text,
+# Arrow feature extraction)
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.chunker import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=300,
+                           chunk_overlap=75)
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_dupdocs(spark, sf_dir), num_perm=16, bands=8,
+                             threshold=0.5)
+
+
+def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, QVEC, k=10, bits=6, n_tables=4)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oboyu_spark.operators.multimodal import extract_features, synthesize_assets
+
+    return extract_features(synthesize_assets(spark, n=100), dim=16)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -177,6 +271,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_role_bm25": _q_transcripts_role_bm25,
         "transcripts_date_range": _q_transcripts_date_range,
+        "text_profile": _q_text_profile,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "rrf_fusion": _q_rrf_fusion,
+        "chunk_documents": _q_chunk_documents,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -200,4 +305,15 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
             BM25_Q2, "user", k=20
         ),
         "transcripts_date_range": O.transcripts_date_range_sql(DATE_START, DATE_END),
+        "text_profile": O.text_profile_sql(),
+        "exact_dup_groups": O.exact_dup_groups_sql(),
+        "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),
+        "minhash_signatures": O.minhash_signatures_sql(num_perm=4),
+        "simhash": O.simhash_sql(bits=32),
+        "cosine_topk": O.cosine_topk_sql(QVEC, k=20),
+        "rrf_fusion": O.rrf_fusion_sql(RRF_QA, RRF_QB, k=20, limit=10),
+        # chunk_documents / minhash_lsh_pairs / lsh_ann_topk /
+        # multimodal_features: intentionally no oracle (python-hash LSH,
+        # free-text chunk bodies, Arrow feature extraction) → the driver
+        # records the weaker rows-only check for these.
     }

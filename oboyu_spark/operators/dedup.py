@@ -1,0 +1,290 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup, all expressed as
+declarative DataFrame plans with deliberate scale hygiene:
+
+- hashing uses md5 (identical hex string in Spark and DuckDB → every
+  operator here is oracle-checkable cell-exact); a 64-bit xxhash64 fast
+  path exists where oracle parity isn't needed
+- hot shingles (df > max_shingle_df) are dropped before any self-join —
+  the classic guard against quadratic pair blowup on boilerplate
+- the pair joins are equi-joins on (shingle) / (band, key) with the
+  a.doc < b.doc triangle filter, i.e. shuffle-partitioned by the join
+  key; no crossJoin anywhere
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from .textstats import fingerprint_md5
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, keep_doc_id) for every duplicate group."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id doc per normalized-content fingerprint."""
+    fp = docs.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def shingles_expr(col: Column, n: int = 3,
+                  min_token_length: int = 2) -> Column:
+    """Distinct word n-gram shingles of the token stream."""
+    toks = tokens_expr(col, min_token_length)
+    # NB: F.sequence(1, 0) DESCENDS — guard docs with < n tokens
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_id, shingle) rows; optionally drop boilerplate shingles
+    occurring in more than max_shingle_df docs."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    return sh
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with set-Jaccard ≥ threshold.
+
+    Exact: |A∩B| from the shingle equi-self-join, |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = doc_shingles(docs, n, id_col, text_col, max_shingle_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{P-1}) — one groupBy, P min-aggregates.
+
+    Permutation i's hash of shingle s is md5(s || ':' || i): string-min
+    is a valid uniform min-hash and is bit-identical in DuckDB.
+    Docs with no shingles are excluded (no signature)."""
+    sh = doc_shingles(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate generation + signature-estimated Jaccard.
+
+    Shingle → minhash → band → bucket-join: docs sharing any band's
+    full signature slice become candidates; est_jaccard = fraction of
+    agreeing permutations; pairs below threshold are dropped."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, id_col, text_col)
+
+    band_cols = []
+    for bnd in range(bands):
+        cols = [f"sig_{bnd * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *cols)).alias(f"band_{bnd}")
+        )
+    banded = sig.select("doc_id", *band_cols,
+                        *[f"sig_{i}" for i in range(num_perm)])
+
+    cand = None
+    for bnd in range(bands):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"band_{bnd}").alias("bkey"),
+            *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_perm)],
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col(f"band_{bnd}").alias("bkey"),
+            *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_perm)],
+        )
+        p = a.join(b, "bkey").filter(F.col("doc_a") < F.col("doc_b")).drop("bkey")
+        cand = p if cand is None else cand.unionByName(p)
+
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def term_hash32(col: Column) -> Column:
+    """32-bit term hash from the first 8 md5 hex chars — identical in
+    DuckDB via ('0x' || substr(md5(t),1,8))::UBIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_length: int = 2,
+) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted sign-sum over term-hash bits.
+
+    Relational formulation: explode (doc, term, tf), then `bits`
+    conditional sums in ONE hash aggregate (single shuffle), then the
+    bit recomposition as a plain expression.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col), min_token_length)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h", term_hash32(F.col("term")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    sums = h.groupBy("doc_id").agg(*aggs)
+    sim = sum(
+        F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        for j in range(bits)
+    )
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint (pigeonhole —
+    hamming ≤ k pairs share ≥1 of k+1 bands), bucket-join, verify exact
+    hamming distance with bit_count."""
+    sh = simhash(docs, bits, id_col, text_col)
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    cand = None
+    for bnd in range(n_bands):
+        key = F.shiftright(F.col("simhash"), bnd * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        a = sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("ha"), key.alias("bkey"))
+        b = sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("hb"),
+                      F.shiftright(F.col("simhash"), bnd * width)
+                      .bitwiseAND(F.lit((1 << width) - 1)).alias("bkey"))
+        p = a.join(b, "bkey").filter(F.col("doc_a") < F.col("doc_b")).drop("bkey")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

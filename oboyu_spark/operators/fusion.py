@@ -1,0 +1,127 @@
+"""Result fusion / set-like operators (reference §2.8 H1-H5).
+
+Semantics pinned from the reference:
+- RRF (H1):   score(d) = Σ_i 1/(rrf_k + rank_i(d)), rank 1-based per
+              input list, absent list contributes 0; rrf_k=60
+              (hybrid_search_combiner.py:33-112, search_config.py:11)
+- weighted (H2): weights normalized to sum 1, missing side contributes
+              0 (hybrid_search.py:14-60)
+- merge/dedup (H3): union, keep MAX score per doc (result_merger.py:14-55)
+- score normalization (H4): min-max to [0,1] (clamped); z-score +
+              sigmoid; rank-based (n-i)/n (score_normalizer.py:65-155)
+
+All are expressed as window/aggregate plans over (doc_id, score)
+DataFrames. Ranks use the engine-wide deterministic tie-break
+(score DESC, doc_id ASC). These run over top-k lists (small), but the
+plans are size-agnostic — windows are unpartitioned only where the
+reference's semantics are inherently global (a ranked result list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K_DEFAULT = 60  # reference search_config.py:11
+
+
+def _rank_window():
+    # built lazily — Window.orderBy needs an active SparkContext
+    return Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def with_rank(results: DataFrame) -> DataFrame:
+    """1-based rank by (score desc, doc_id asc)."""
+    return results.withColumn("rank", F.row_number().over(_rank_window()))
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    rrf_k: int = RRF_K_DEFAULT,
+    limit: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (doc_id, score) result lists."""
+    ra = with_rank(a).select("doc_id", F.col("rank").alias("rank_a"))
+    rb = with_rank(b).select("doc_id", F.col("rank").alias("rank_b"))
+    joined = ra.join(rb, "doc_id", "full_outer")
+    score = (
+        F.when(F.col("rank_a").isNotNull(), 1.0 / (rrf_k + F.col("rank_a")))
+        .otherwise(0.0)
+        + F.when(F.col("rank_b").isNotNull(), 1.0 / (rrf_k + F.col("rank_b")))
+        .otherwise(0.0)
+    )
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
+
+
+def weighted_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    weight_a: float = 0.7,
+    weight_b: float = 0.3,
+    limit: int = 10,
+) -> DataFrame:
+    """Legacy weighted-score fusion; weights normalized to sum 1,
+    missing side contributes 0."""
+    total = weight_a + weight_b
+    wa, wb = (weight_a / total, weight_b / total) if total > 0 else (0.7, 0.3)
+    sa = a.select("doc_id", (F.col("score") * wa).alias("sa"))
+    sb = b.select("doc_id", (F.col("score") * wb).alias("sb"))
+    joined = sa.join(sb, "doc_id", "full_outer")
+    return (
+        joined.select(
+            "doc_id",
+            (F.coalesce("sa", F.lit(0.0)) + F.coalesce("sb", F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
+
+
+def merge_dedup(*results: DataFrame, limit: int | None = None) -> DataFrame:
+    """Union result lists, keep the max score per doc, sort desc."""
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    merged = out.groupBy("doc_id").agg(F.max("score").alias("score")).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return merged.limit(limit) if limit else merged
+
+
+def normalize_scores(results: DataFrame, method: str = "min_max") -> DataFrame:
+    """H4 score normalization over the whole result list."""
+    w = Window.partitionBy()
+    if method == "min_max":
+        mn, mx = F.min("score").over(w), F.max("score").over(w)
+        norm = F.when(mx == mn, F.col("score")).otherwise(
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), (F.col("score") - mn) / (mx - mn)),
+            )
+        )
+    elif method == "z_score":
+        mean, sd = F.mean("score").over(w), F.stddev_pop("score").over(w)
+        z = (F.col("score") - mean) / sd
+        norm = F.when(sd == 0, F.col("score")).otherwise(
+            1.0 / (1.0 + F.exp(-z))
+        )
+    elif method == "rank":
+        n = F.count(F.lit(1)).over(w)
+        rank = F.row_number().over(_rank_window())
+        norm = (n - rank + 1) / n
+    else:
+        raise ValueError(f"unknown normalization {method!r}")
+    return results.select("doc_id", norm.alias("score"))
+
+
+def rerank_expansion(limit: int, multiplier: int = 2) -> int:
+    """H5: retrieve limit × multiplier before an (external) reranker,
+    truncate after (search_orchestrator.py:76-95)."""
+    return limit * multiplier

@@ -9,16 +9,23 @@ unacceptable for rank identity).
 ``assign_dense_ids`` produces a deterministic, collision-free, dense
 mapping without ever funneling data through one partition:
 
-1. range-repartition by the key (global order established by Spark's
-   sampled range partitioner),
-2. sort within partitions,
-3. one tiny action collects per-partition row counts (#partitions
-   rows) to the driver,
-4. a mapInPandas pass adds (partition offset + local index).
+1. range-repartition by the key + sort within partitions,
+2. ONE pass tags every row with its (partition id, local row index)
+   and — when ``scratch_dir`` is given — MATERIALIZES that tagging to
+   parquet. This is the crucial step: deriving per-partition offsets
+   from a *recomputable* plan is unsound, because the offset-collection
+   action and the consuming action may recompute the range shuffle with
+   different boundaries (AQE coalescing, sampling), silently assigning
+   duplicate/skipped ids. Freezing (pid, rn) on disk makes both
+   downstream reads see the same partitioning by construction.
+   (This exact bug was observed: the same corpus produced indexes with
+   2,511,139 vs 2,554,482 postings at local[32] vs local[8].)
+3. per-pid counts → offsets (tiny collect) → id = offset[pid] + rn via
+   a broadcast join.
 
-Two passes over the data, no global sort-to-single-node, deterministic
-for a fixed input set — re-running on the same snapshot yields the same
-ids, which is what checkpoint-resume (operators/manifest.py) needs.
+Without ``scratch_dir`` (small/test inputs) the tagged frame is
+persisted in memory instead — same single-computation guarantee as
+long as the cache holds, which callers must know is only best-effort.
 
 The reference has no analog (single-node uuid4 chunk ids,
 document_processor.py:55-127 — explicitly replaced per SURVEY §2.3 C2:
@@ -32,6 +39,31 @@ from typing import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+
+def _tag_partitions(df: DataFrame) -> DataFrame:
+    """Append (_pid, _rn): stage partition id + local row index."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_pid", IntegerType(), False),
+           StructField("_rn", LongType(), False)]
+    )
+
+    def tag(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_rn"] = range(seen, seen + n)
+            seen += n
+            yield pdf
+
+    return df.mapInPandas(tag, schema=schema)
 
 
 def assign_dense_ids(
@@ -39,48 +71,43 @@ def assign_dense_ids(
     key_cols: Sequence[str],
     out_col: str = "doc_int",
     num_partitions: int | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Attach a dense 0-based int64 id ordered by ``key_cols``.
 
     Keys must be unique (one row per key) — callers dedupe first.
+    Callers that feed multiple downstream actions should pass
+    ``scratch_dir`` (files make the tagging immutable).
     """
+    spark = df.sparkSession
     keys = list(key_cols)
-    if num_partitions:
-        part = df.repartitionByRange(num_partitions, *keys)
-    else:
-        part = df.repartitionByRange(*keys)
-    local_sorted = part.sortWithinPartitions(*keys)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    tagged = _tag_partitions(
+        df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
+    )
 
-    counts_df = local_sorted.select(F.spark_partition_id().alias("pid")).groupBy(
-        "pid"
-    ).count()
-    counts = {r["pid"]: r["count"] for r in counts_df.collect()}
+    if scratch_dir:
+        tagged.write.mode("overwrite").parquet(scratch_dir)
+        tagged = spark.read.parquet(scratch_dir)
+    else:
+        tagged = tagged.persist()
+
+    counts = {
+        r["_pid"]: r["count"]
+        for r in tagged.groupBy("_pid").count().collect()
+    }
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
 
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        list(local_sorted.schema.fields) + [StructField(out_col, LongType(), False)]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
-    b_offsets = local_sorted.sparkSession.sparkContext.broadcast(offsets)
-
-    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # spark_partition_id is stable between the count pass and this
-        # pass because both consume the same shuffled+sorted RDD output.
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = b_offsets.value.get(pid, 0)
-        seen = 0
-        for pdf in it:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf[out_col] = range(base + seen, base + seen + n)
-            seen += n
-            yield pdf
-
-    return local_sorted.mapInPandas(add_ids, schema=schema)
+    return (
+        tagged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

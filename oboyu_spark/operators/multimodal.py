@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery — schema, partition-friendly layout, Arrow
+batch shapes, mapInPandas signatures — is real and tested; the actual
+media decoding is STUBBED because no image/audio libraries exist in
+this container:
+
+- ``decode_media``          raises NotImplementedError (the real decode
+                            slot: swap in PIL/av per executor)
+- ``fake_features``         deterministic feature extractor from the
+                            raw bytes (sha-seeded), preserving the
+                            exact UDF interface the real extractor
+                            would have: binary -> array<float>[dim]
+- ``frame_sample_stub``     deterministic "frame offsets" for video
+                            rows, byte-sliced from the payload
+
+Asset synthesis is expression-only (sha2/unhex over spark.range) so the
+fixture table scales like every other synthetic source here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, data binary, "
+    "meta map<string,string>"
+)
+
+KINDS = ["image", "audio", "video"]
+
+
+def synthesize_assets(spark: SparkSession, n: int = 100,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic opaque binary assets with typed metadata."""
+    base = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in KINDS]),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(len(KINDS))) + 1)
+            .cast("int"),
+        ).alias("kind"),
+        # 64 deterministic bytes: sha2 of (id, seed) twice
+        F.unhex(
+            F.concat(
+                F.sha2(F.concat_ws(":", F.col("id"), F.lit(seed)), 256),
+                F.sha2(F.concat_ws(";", F.col("id"), F.lit(seed)), 256),
+            )
+        ).alias("data"),
+    )
+    return base.select(
+        "asset_id", "kind", "data",
+        F.create_map(
+            F.lit("width"), (F.pmod(F.col("asset_id"), F.lit(1920)) + 1).cast("string"),
+            F.lit("height"), (F.pmod(F.col("asset_id"), F.lit(1080)) + 1).cast("string"),
+            F.lit("codec"), F.when(F.col("kind") == "video", F.lit("h264"))
+            .when(F.col("kind") == "audio", F.lit("opus"))
+            .otherwise(F.lit("png")),
+        ).alias("meta"),
+    )
+
+
+def decode_media(data: bytes, kind: str):
+    """The real decode slot — requires PIL / soundfile / av, which are
+    not available in this container. Cited so callers fail loudly
+    rather than silently skipping the decode step."""
+    raise NotImplementedError(
+        "media decoding requires PIL/soundfile/av; install per-executor "
+        "and replace decode_media — the Spark plumbing around it "
+        "(fake_features / extract_features) is the tested interface"
+    )
+
+
+def _bytes_features(data: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real feature extractor: expand the
+    sha256 of the payload into `dim` floats in [-1, 1)."""
+    out = np.empty(dim, dtype=np.float32)
+    h = data or b""
+    i = 0
+    counter = 0
+    while i < dim:
+        digest = hashlib.sha256(h + counter.to_bytes(4, "big")).digest()
+        block = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+        take = min(dim - i, block.size)
+        out[i : i + take] = block[:take] / 128.0 - 1.0
+        i += take
+        counter += 1
+    return out
+
+
+def extract_features(assets: DataFrame, dim: int = 64,
+                     batch_note: int = 0) -> DataFrame:
+    """(asset_id, kind, features array<float>) via mapInPandas.
+
+    The iterator-of-batches shape is the real contract: a production
+    extractor initializes its model once per python worker (before the
+    loop) and streams Arrow batches through it."""
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model init would happen HERE, once per worker
+        for pdf in batches:
+            feats = [
+                _bytes_features(bytes(d) if d is not None else b"", dim)
+                for d in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def frame_sample_stub(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic 'frame sampling' for video assets: n byte-slices
+    of the payload standing in for decoded frames. Real frame decode
+    goes through the same (asset_id, frame_idx, frame_bytes) shape."""
+    videos = assets.filter(F.col("kind") == "video")
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
+    with_idx = videos.select("asset_id", "data", idx)
+    frame = F.substring(
+        F.col("data"), (F.col("frame_idx") * 8 + 1).cast("int"), 8
+    )
+    return with_idx.select(
+        "asset_id", "frame_idx", frame.alias("frame_bytes")
+    )

@@ -70,17 +70,35 @@ from pyspark.sql import functions as F
 
 from .. import B_DEFAULT, K1_DEFAULT, MIN_TOKEN_LENGTH_DEFAULT
 from .codec import encode_doc_ids, encode_varbyte
-from .ids import assign_dense_ids
-from .termindex import document_stats, term_frequencies
 
 BLOCK = 128
-CODEC_VERSION = 2
+CODEC_VERSION = 3
 
+# Terms are stored as a 128-bit hash pair (two independent xxhash64
+# passes), NOT as strings. Rationale (measured in this sandbox, and the
+# same physics holds on a real cluster): every wide stage of the build
+# — the (doc, term) tf aggregate, the vocab partial, the encode shuffle
+# — then runs on fixed-width primitive keys, which Tungsten hash-
+# aggregates without per-row string allocation (string-keyed explode+
+# groupBy anti-scaled 2x at high thread counts here). Query terms are
+# hashed the same way at lookup; a wrong merge needs BOTH 64-bit hashes
+# to collide (~2^-128 per term pair), far below the float-noise floor
+# of score parity. The human-readable vocabulary lives in the separate
+# relational vocabulary table, not in the index hot path.
 POSTINGS_SCHEMA = (
-    "shard long, term string, salt int, df long, n long, "
+    "shard long, th1 long, th2 long, salt int, n long, "
     "gaps binary, tfs binary, dls binary, "
     "block_last array<long>, block_maxtf array<long>, block_mindl array<long>"
 )
+
+TERM_HASH_SEED2 = 7  # second hash = xxhash64(term, 7); first = xxhash64(term)
+
+
+def term_hash_cols(term_col):
+    return (
+        F.xxhash64(term_col).alias("th1"),
+        F.xxhash64(term_col, F.lit(TERM_HASH_SEED2)).alias("th2"),
+    )
 
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -96,9 +114,9 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "shard": [int(pdf["shard"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
+            "th1": [int(pdf["th1"].iloc[0])],
+            "th2": [int(pdf["th2"].iloc[0])],
             "salt": [int(pdf["salt"].iloc[0])],
-            "df": [int(pdf["df"].iloc[0])],
             "n": [n],
             "gaps": [encode_doc_ids(ids.astype(np.uint64))],
             "tfs": [encode_varbyte(tfs.astype(np.uint64))],
@@ -137,6 +155,98 @@ def _write_manifest(index_dir: str, p: int, row: dict) -> None:
     os.replace(tmp, _manifest_path(index_dir, p))
 
 
+def _tag_strided_ids(df: DataFrame, stride: int, offset: int) -> DataFrame:
+    """doc_int = offset + pid·stride + local row index, computed inside
+    the tagging pass itself — no cross-action offset collection, so ids
+    are deterministic by construction (the alternative, collecting
+    per-partition counts in one action and assigning ids in another, is
+    unsound: the range shuffle can recompute with different boundaries
+    between the two actions; we hit exactly that as index divergence
+    between local[8] and local[32])."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("doc_int", LongType(), False)]
+    )
+
+    def tag(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offset + pid * stride
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            if seen + n > stride:
+                raise RuntimeError(
+                    f"id stride overflow: partition {pid} has more than "
+                    f"{stride} rows — raise the stride margin"
+                )
+            pdf = pdf.copy()
+            pdf["doc_int"] = range(base + seen, base + seen + n)
+            seen += n
+            yield pdf
+
+    return df.mapInPandas(tag, schema=schema)
+
+
+def _stage_docs(
+    keyed: DataFrame,
+    index_dir: str,
+    part_docs: int,
+    num_partitions: int,
+    id_offset: int,
+) -> tuple[int, list[int]]:
+    """Range-sort by key, assign strided ids, write partitioned by
+    bpart in ONE corpus pass. Returns (n_docs, bparts written).
+
+    Strided ids are ascending in key order (range partitions are key-
+    ordered, rn sorted within) but leave gaps between partition blocks —
+    harmless: empty id ranges produce no shards, no postings rows, and
+    one slightly larger delta-gap per posting list at block crossings.
+    """
+    spark = keyed.sparkSession
+    n_est = keyed.count()
+    if n_est == 0:
+        return 0, []
+    per_pid = -(-n_est // num_partitions)
+    # 4x margin for range-partitioner imbalance. NOT aligned to part
+    # size: parts may straddle id-partition blocks (gaps inside a part
+    # are harmless), which keeps the number of build partitions tied to
+    # part_docs, not to the id parallelism.
+    stride = per_pid * 4
+    tagged = _tag_strided_ids(
+        keyed.repartitionByRange(num_partitions, "doc_id")
+        .sortWithinPartitions("doc_id"),
+        stride,
+        id_offset,
+    )
+    staged = tagged.withColumn(
+        "bpart", (F.col("doc_int") / part_docs).cast("long")
+    )
+    staged.write.mode("append").partitionBy("bpart").parquet(
+        f"{index_dir}/staged"
+    )
+    back = spark.read.parquet(f"{index_dir}/staged").filter(
+        F.col("doc_int") >= id_offset
+    )
+    chk = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_int").alias("nd"),
+        F.countDistinct("doc_id").alias("nk"),
+    ).collect()[0]
+    n_docs = int(chk["n"])
+    if not (n_docs == int(chk["nd"]) == int(chk["nk"]) == n_est):
+        raise RuntimeError(
+            f"staging integrity violation: {n_est} input rows, {n_docs} "
+            f"staged, {chk['nd']} distinct ids, {chk['nk']} distinct keys"
+        )
+    parts = sorted(
+        r["bpart"] for r in back.select("bpart").distinct().collect()
+    )
+    return n_docs, [int(p) for p in parts]
+
+
 def _stage(
     docs: DataFrame,
     index_dir: str,
@@ -146,27 +256,23 @@ def _stage(
     shards_per_part: int,
     id_assign_partitions: int | None,
 ) -> dict:
-    """Freeze the input: dense ids + bpart column, written once."""
+    """Freeze the input: strided ids + bpart partitions, written once."""
     staged_meta_path = f"{index_dir}/staged.json"
     if os.path.exists(staged_meta_path):
         with open(staged_meta_path) as fh:
             return json.load(fh)
+    # no staged.json → any staged files are a partial crashed write
+    import shutil
+
+    shutil.rmtree(f"{index_dir}/staged", ignore_errors=True)
+    spark = docs.sparkSession
     keyed = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    with_ids = assign_dense_ids(
-        keyed, ["doc_id"], "doc_int", num_partitions=id_assign_partitions
-    )
+    num_partitions = id_assign_partitions or spark.sparkContext.defaultParallelism
     part_docs = shard_size * shards_per_part
-    staged = with_ids.withColumn(
-        "bpart", (F.col("doc_int") / part_docs).cast("long")
-    )
-    staged.write.mode("overwrite").partitionBy("bpart").parquet(
-        f"{index_dir}/staged"
-    )
-    n_docs = docs.sparkSession.read.parquet(f"{index_dir}/staged").count()
-    n_parts = (n_docs + part_docs - 1) // part_docs if n_docs else 0
+    n_docs, parts = _stage_docs(keyed, index_dir, part_docs, num_partitions, 0)
     meta = {
         "n_docs": int(n_docs),
-        "n_parts": int(n_parts),
+        "parts": parts,
         "shard_size": shard_size,
         "shards_per_part": shards_per_part,
     }
@@ -186,20 +292,53 @@ def _build_one_part(
     min_token_length: int,
     stop_words,
 ) -> dict:
-    """Build postings + vocab partial + docmap for one bpart."""
+    """Build postings + vocab partial + docmap for one bpart.
+
+    Shuffle budget (the thing that matters at 100 TB): doc length is
+    carried through tokenization (dl = size of the filtered token
+    array, computed BEFORE the explode) so no join against
+    document_stats is ever needed; salting uses a driver-collected
+    broadcast map of the few hot terms (df > salt_chunk) so no join
+    against the vocabulary either. Net per part: ONE wide shuffle of
+    (doc, dl, term) for the tf aggregate, one small term-agg shuffle
+    for the vocab partial, and the (shard, term, salt) encode shuffle.
+    """
     t0 = time.time()
     sub = spark.read.parquet(f"{index_dir}/staged").filter(F.col("bpart") == p)
 
-    tf0 = term_frequencies(
-        sub, id_col="doc_int", text_col="text",
-        min_token_length=min_token_length, stop_words=stop_words,
-    )
-    ds0 = document_stats(tf0)
-    tf = tf0.withColumnRenamed("doc_id", "doc_int")
-    ds = ds0.withColumnRenamed("doc_id", "doc_int")
+    from .termindex import with_tokens
 
-    # per-part vocab partial (merged globally at finalize)
-    vocab_part = tf.groupBy("term").agg(
+    toks = with_tokens(
+        sub, "text", "tokens", min_token_length, stop_words
+    ).withColumn("dl", F.size("tokens"))
+    toks = toks.persist()
+
+    # docmap for this part — straight projection, no join, no agg
+    toks.select("doc_id", "doc_int", F.col("dl").cast("long").alias("dl")) \
+        .repartitionByRange(4, "doc_int").sortWithinPartitions("doc_int") \
+        .write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
+
+    stats_row = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("tokens"),
+    ).collect()[0]
+    n_docs_part, tokens_part = int(stats_row["n"]), int(stats_row["tokens"])
+
+    # term strings leave the pipeline HERE: everything downstream keys
+    # on the fixed-width 128-bit hash pair (see POSTINGS_SCHEMA note)
+    tf = (
+        toks.select(
+            "doc_int",
+            F.col("dl").cast("long").alias("dl"),
+            F.explode("tokens").alias("term"),
+        )
+        .select("doc_int", "dl", *term_hash_cols(F.col("term")))
+        .groupBy("doc_int", "dl", "th1", "th2")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tf = tf.persist()
+
+    vocab_part = tf.groupBy("th1", "th2").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").alias("cf"),
     )
@@ -207,50 +346,46 @@ def _build_one_part(
         f"{index_dir}/vocab_parts/bpart={p}"
     )
 
-    # docmap for this part (every staged doc, dl=0 for token-empty)
-    docmap = (
-        sub.select("doc_id", "doc_int")
-        .join(ds.select("doc_int", F.col("total_terms").alias("dl")),
-              "doc_int", "left")
-        .select("doc_id", "doc_int", F.coalesce("dl", F.lit(0)).alias("dl"))
-    )
-    docmap.repartitionByRange(4, "doc_int").sortWithinPartitions(
-        "doc_int"
-    ).write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
+    # hot terms (the skew set) are few — collect + broadcast, no join
+    hot = [
+        (int(r["th1"]), int(r["th2"]), min(-(-int(r["df"]) // salt_chunk), 64))
+        for r in vocab_part.filter(F.col("df") > salt_chunk).collect()
+    ]
+    if hot:
+        hot_df = spark.createDataFrame(
+            hot, "th1 long, th2 long, salt_count long"
+        )
+        tf_s = tf.join(F.broadcast(hot_df), ["th1", "th2"], "left").withColumn(
+            "salt_count", F.coalesce("salt_count", F.lit(1))
+        )
+    else:
+        tf_s = tf.withColumn("salt_count", F.lit(1))
 
-    n_docs_part = sub.count()
-    tokens_part_row = ds.agg(F.coalesce(F.sum("total_terms"), F.lit(0))).collect()
-    tokens_part = int(tokens_part_row[0][0])
-
-    enriched = tf.join(ds.select("doc_int", F.col("total_terms").alias("dl")),
-                       "doc_int").join(vocab_part.select("term", "df"), "term")
-    salt_count = F.least(
-        F.greatest(F.ceil(F.col("df") / F.lit(salt_chunk)), F.lit(1)), F.lit(64)
-    ).cast("long")
-    enriched = enriched.select(
-        "term", "doc_int", "tf", "dl", "df",
+    enriched = tf_s.select(
+        "th1", "th2", "doc_int", "tf", "dl",
         (F.col("doc_int") / shard_size).cast("long").alias("shard"),
         (
-            (F.pmod(F.col("doc_int"), F.lit(shard_size)) * salt_count)
+            (F.pmod(F.col("doc_int"), F.lit(shard_size)) * F.col("salt_count"))
             / F.lit(shard_size)
         ).cast("int").alias("salt"),
     )
-    postings = enriched.groupBy("shard", "term", "salt").applyInPandas(
+    postings = enriched.groupBy("shard", "th1", "th2", "salt").applyInPandas(
         _encode_group, schema=POSTINGS_SCHEMA
     )
+    # each part owns its own postings root → part builds can run
+    # CONCURRENTLY (disjoint output paths, no shared-directory
+    # partition-overwrite semantics to get wrong); readers discover
+    # bpart=*/ via normal partition inference
     (
-        postings.repartition("shard")
-        .sortWithinPartitions("term", "salt")
+        postings.repartition(max(2, _spp(index_dir) // 4), "shard")
+        .sortWithinPartitions("th1", "salt")
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(f"{index_dir}/postings")
+        .parquet(f"{index_dir}/postings/bpart={p}")
     )
 
-    written = spark.read.parquet(f"{index_dir}/postings").filter(
-        (F.col("shard") >= p * _spp(index_dir))
-        & (F.col("shard") < (p + 1) * _spp(index_dir))
-    )
+    toks.unpersist()
+    tf.unpersist()
+    written = spark.read.parquet(f"{index_dir}/postings/bpart={p}")
     agg = written.agg(
         F.count(F.lit(1)).alias("rows"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
@@ -293,17 +428,26 @@ def finalize_index(
     salt_chunk: int,
 ) -> dict:
     """Merge vocab partials, compute collection stats, write meta."""
-    vocab = (
-        spark.read.parquet(f"{index_dir}/vocab_parts")
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("document_frequency"),
-            F.sum("cf").alias("collection_frequency"),
-        )
+    vocab_schema = (
+        "th1 long, th2 long, document_frequency long, collection_frequency long"
     )
+    if os.path.isdir(f"{index_dir}/vocab_parts"):
+        vocab = (
+            spark.read.parquet(f"{index_dir}/vocab_parts")
+            .groupBy("th1", "th2")
+            .agg(
+                F.sum("df").alias("document_frequency"),
+                F.sum("cf").alias("collection_frequency"),
+            )
+        )
+    else:
+        vocab = spark.createDataFrame([], vocab_schema)
     vocab.write.mode("overwrite").parquet(f"{index_dir}/vocabulary")
 
-    docmap = spark.read.parquet(f"{index_dir}/docmap")
+    if os.path.isdir(f"{index_dir}/docmap"):
+        docmap = spark.read.parquet(f"{index_dir}/docmap")
+    else:
+        docmap = spark.createDataFrame([], "doc_id string, doc_int long, dl long")
     tomb = load_tombstones(index_dir)
     if tomb:
         docmap = docmap.filter(~F.col("doc_int").isin([int(x) for x in tomb]))
@@ -322,6 +466,25 @@ def finalize_index(
                 with open(f"{mdir}/{fn}") as fh:
                     parts.append(json.load(fh))
     total_secs = sum(pm.get("build_seconds", 0) for pm in parts)
+
+    # integrity gate: the FINAL postings dir must hold exactly the sum
+    # of what the per-part manifests claim (guards against partition-
+    # overwrite modes silently wiping sibling shards)
+    manifest_postings = sum(pm.get("n_postings", 0) for pm in parts)
+    try:
+        final_postings = int(
+            spark.read.parquet(f"{index_dir}/postings")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .collect()[0][0]
+        )
+    except Exception:
+        final_postings = 0
+    if final_postings != manifest_postings:
+        raise RuntimeError(
+            f"index integrity violation: postings dir holds {final_postings} "
+            f"postings but manifests claim {manifest_postings}"
+        )
+
     meta = {
         "codec_version": CODEC_VERSION,
         "block": BLOCK,
@@ -377,19 +540,38 @@ def build_index(
                    shards_per_part, id_assign_partitions)
     _SPP_CACHE[index_dir] = shards_per_part
 
-    built = 0
-    for p in range(smeta["n_parts"]):
-        row = _read_manifest(index_dir, p)
-        if row and row.get("status") == "done":
-            continue
-        metrics = _build_one_part(
-            spark, index_dir, p, shard_size, salt_chunk,
-            min_token_length, stop_words,
+    pending = [
+        p for p in smeta["parts"]
+        if not (
+            (row := _read_manifest(index_dir, p)) and row.get("status") == "done"
         )
-        _write_manifest(index_dir, p, metrics)
-        built += 1
-        if fail_after_parts is not None and built >= fail_after_parts:
-            raise RuntimeError(f"injected failure after {built} parts")
+    ]
+    if fail_after_parts is not None:
+        # sequential mode with deterministic crash injection (tests)
+        built = 0
+        for p in pending:
+            metrics = _build_one_part(
+                spark, index_dir, p, shard_size, salt_chunk,
+                min_token_length, stop_words,
+            )
+            _write_manifest(index_dir, p, metrics)
+            built += 1
+            if built >= fail_after_parts:
+                raise RuntimeError(f"injected failure after {built} parts")
+    elif pending:
+        # concurrent part builds: disjoint output roots, independent
+        # manifests; Spark schedules the jobs across the same executors
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(p: int) -> None:
+            metrics = _build_one_part(
+                spark, index_dir, p, shard_size, salt_chunk,
+                min_token_length, stop_words,
+            )
+            _write_manifest(index_dir, p, metrics)
+
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as ex:
+            list(ex.map(run, pending))
 
     return finalize_index(
         spark, index_dir, k1, b, min_token_length, shard_size, salt_chunk
@@ -423,36 +605,25 @@ def append_docs(
     shard_size = smeta["shard_size"]
     spp = smeta["shards_per_part"]
     part_docs = shard_size * spp
-    start_part = smeta["n_parts"]
+    start_part = (max(smeta["parts"]) + 1) if smeta["parts"] else 0
     start_id = start_part * part_docs
 
     keyed = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    with_ids = assign_dense_ids(keyed, ["doc_id"], "doc_int").withColumn(
-        "doc_int", F.col("doc_int") + F.lit(start_id)
+    n_new, new_parts = _stage_docs(
+        keyed, index_dir, part_docs,
+        spark.sparkContext.defaultParallelism, start_id,
     )
-    staged = with_ids.withColumn(
-        "bpart", (F.col("doc_int") / part_docs).cast("long")
-    )
-    new_parts = [
-        r["bpart"] for r in staged.select("bpart").distinct().collect()
-    ]
-    for p in sorted(new_parts):
-        staged.filter(F.col("bpart") == p).drop("bpart").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/staged/bpart={p}")
-
-    n_new = with_ids.count()
     smeta["n_docs"] = smeta["n_docs"] + int(n_new)
-    smeta["n_parts"] = start_part + len(new_parts)
+    smeta["parts"] = sorted(set(smeta["parts"]) | set(new_parts))
     tmp = f"{index_dir}/staged.json.tmp"
     with open(tmp, "w") as fh:
         json.dump(smeta, fh)
     os.replace(tmp, f"{index_dir}/staged.json")
     _SPP_CACHE[index_dir] = spp
 
-    for p in sorted(new_parts):
+    for p in new_parts:
         metrics = _build_one_part(
             spark, index_dir, int(p), shard_size, meta["salt_chunk"],
             meta["min_token_length"], None,

@@ -54,11 +54,11 @@ def _query_maps(queries: Sequence[str], min_token_length: int):
 
 
 def _decode_rows(pdf: pd.DataFrame, base: int, tomb: np.ndarray | None = None):
-    """term -> list of (local_ids int64, wtf float64) chunks, each
+    """(th1, th2) -> list of (local_ids int64, wtf float64) chunks, each
     sorted by doc id (chunks are salt ranges, mutually disjoint).
     ``tomb``: sorted global doc ints to mask out (deleted docs)."""
-    decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-    order = pdf.sort_values(["term", "salt"])
+    decoded: dict[tuple[int, int], list[tuple[np.ndarray, np.ndarray]]] = {}
+    order = pdf.sort_values(["th1", "th2", "salt"])
     for r in order.itertuples():
         gids = decode_doc_ids(r.gaps).astype(np.int64)
         wtf = np.asarray(r.wtf, dtype=np.float64)
@@ -66,7 +66,7 @@ def _decode_rows(pdf: pd.DataFrame, base: int, tomb: np.ndarray | None = None):
             keep = ~np.isin(gids, tomb, assume_unique=False)
             gids = gids[keep]
             wtf = wtf[keep]
-        decoded.setdefault(r.term, []).append((gids - base, wtf))
+        decoded.setdefault((int(r.th1), int(r.th2)), []).append((gids - base, wtf))
     return decoded
 
 
@@ -168,24 +168,44 @@ def search_index(
     if not all_terms or n_docs == 0 or avgdl <= 0:
         return empty
 
+    # hash the query terms exactly as the build did (one tiny job),
+    # then slice the hash-keyed vocabulary for their df
+    from .postings import term_hash_cols
+
+    tdf = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    hashes = tdf.select("term", *term_hash_cols(F.col("term"))).collect()
+    term_to_hash = {r["term"]: (r["th1"], r["th2"]) for r in hashes}
+    hash_df = spark.createDataFrame(
+        [(h1, h2) for h1, h2 in term_to_hash.values()], "th1 long, th2 long"
+    )
     vocab = (
         spark.read.parquet(f"{index_dir}/vocabulary")
-        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(hash_df), ["th1", "th2"])
         .collect()
     )
-    idf_map = {
-        r["term"]: math.log(
+    idf_by_hash = {
+        (r["th1"], r["th2"]): math.log(
             (n_docs - r["document_frequency"] + 0.5)
             / (r["document_frequency"] + 0.5)
         )
         for r in vocab
     }
-    if not idf_map:
+    if not idf_by_hash:
         return empty
 
-    live_terms = [t for t in all_terms if t in idf_map]
+    # rewrite query maps onto hash keys
+    qmap = {
+        qid: [
+            (term_to_hash[t], qtf)
+            for t, qtf in qterms
+            if term_to_hash[t] in idf_by_hash
+        ]
+        for qid, qterms in qmap.items()
+    }
+    idf_map = idf_by_hash
+    live_h1 = sorted({h1 for h1, _ in idf_by_hash})
     postings = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("term").isin(live_terms)
+        F.col("th1").isin(live_h1)
     )
 
     from .postings import load_tombstones

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in JVM functions (codegen'd, no
+Python): language-ID (character-class ratios), quality scoring
+(length / punctuation / stopword / word-shape signals), token counts,
+and document fingerprints (content hash + positional sample hash).
+
+These are the operators a 100 TB corpus-curation pipeline runs over
+every document, so they must be pure column expressions — one scan, no
+shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_PATTERN, tokens_expr
+
+_JP_CLASS = "[぀-ゟ゠-ヿ一-鿿]"
+_LATIN_CLASS = "[a-zA-Z]"
+_PUNCT_CLASS = r"[\p{Punct}、。！？．，]"
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for on with as at by from"
+).split()
+
+
+def _count_class(col: Column, cls: str) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, cls, ""))
+
+
+def language_id(col: Column) -> Column:
+    """'ja' / 'en' / 'und' by dominant character class (n-gram-free
+    heuristic: CJK+kana chars vs latin chars)."""
+    jp = _count_class(col, _JP_CLASS)
+    latin = _count_class(col, _LATIN_CLASS)
+    return (
+        F.when(jp + latin == 0, F.lit("und"))
+        .when(jp >= latin, F.lit("ja"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def token_count(col: Column, min_token_length: int = 2) -> Column:
+    """Number of index tokens (same token spec as the BM25 engine)."""
+    return F.size(tokens_expr(col, min_token_length))
+
+
+def word_count(col: Column) -> Column:
+    """Whitespace word count (BPE-ish upper bound is chars/4 for EN)."""
+    return F.size(
+        F.filter(F.split(col, "[\\s　]+"), lambda w: F.length(w) > 0)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, 0.0).otherwise(
+        _count_class(col, _PUNCT_CLASS) / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column, min_token_length: int = 2) -> Column:
+    toks = tokens_expr(col, min_token_length)
+    stops = F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+    return F.when(F.size(toks) == 0, 0.0).otherwise(
+        F.size(stops) / F.size(toks)
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens_expr(col, 1)
+    return F.when(F.size(toks) == 0, 0.0).otherwise(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough text, sane punctuation
+    density, sane mean word length. Deterministic, expression-only."""
+    n = F.length(col)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct = punct_ratio(col)
+    punct_score = F.when(punct > 0.3, 0.0).otherwise(1.0 - punct / 0.3)
+    mwl = mean_word_length(col)
+    mwl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.3)
+    return F.round(
+        0.4 * len_score + 0.3 * punct_score + 0.3 * mwl_score, 6
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document content fingerprint: 64-bit xxhash of the
+    whitespace-normalized text (exact-dup key)."""
+    from ..functions.text import collapse_whitespace
+
+    return F.xxhash64(collapse_whitespace(col))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Oracle-friendly variant: md5 hex of normalized text (identical
+    string in Spark and DuckDB)."""
+    from ..functions.text import collapse_whitespace
+
+    return F.md5(collapse_whitespace(col))
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """One profiling row per doc — the corpus-curation workhorse."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        word_count(c).alias("n_words"),
+        language_id(c).alias("lang"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        fingerprint_md5(c).alias("fingerprint"),
+    )

@@ -170,9 +170,9 @@ def make_bmw_scorer(
         base = shard * shard_size
         # block upper bounds from stats-drift-robust (maxtf, mindl)
         # metadata, evaluated with the CURRENT k1/b/avgdl
-        blasts: dict[str, list] = {}
-        for r in pdf.sort_values(["term", "salt"]).itertuples():
-            blasts.setdefault(r.term, []).append(
+        blasts: dict[tuple[int, int], list] = {}
+        for r in pdf.sort_values(["th1", "th2", "salt"]).itertuples():
+            blasts.setdefault((int(r.th1), int(r.th2)), []).append(
                 (
                     np.asarray(r.block_last, dtype=np.int64) - base,
                     wtf_upper(r.block_maxtf, r.block_mindl, k1, b, avgdl),

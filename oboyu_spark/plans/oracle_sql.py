@@ -212,3 +212,215 @@ def like_search_sql(terms: list[str], k: int = 10, table: str = "documents") -> 
 FROM {table}
 WHERE contains(text, '{needle}')
 ORDER BY doc_id ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops (textstats / dedup / similarity / fusion oracles)
+# ---------------------------------------------------------------------------
+
+WS_RE2 = r"[\s\x{00a0}\x{3000}]"
+JP_RE2 = r"[\x{3040}-\x{309f}\x{30a0}-\x{30ff}\x{4e00}-\x{9fff}]"
+PUNCT_RE2 = r"[[:punct:]]|[、。！？．，]"
+_EN_STOPS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for on with as at by from"
+).split()
+
+
+def _fp_sql(col: str = "text") -> str:
+    return f"md5(trim(regexp_replace({col}, '{WS_RE2}+', ' ', 'g')))"
+
+
+def text_profile_sql(table: str = "documents") -> str:
+    stops = ", ".join(f"'{s}'" for s in _EN_STOPS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}'),
+                     x -> length(x) >= 2) AS toks,
+         regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}') AS toks1
+  FROM {table}
+)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(toks)::INT AS n_tokens,
+       len(list_filter(string_split_regex(text, '{WS_RE2}+'),
+                       x -> length(x) > 0))::INT AS n_words,
+       CASE
+         WHEN (length(text) - length(regexp_replace(text, '{JP_RE2}', '', 'g')))
+              + (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) = 0
+           THEN 'und'
+         WHEN (length(text) - length(regexp_replace(text, '{JP_RE2}', '', 'g')))
+              >= (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+           THEN 'ja'
+         ELSE 'en'
+       END AS lang,
+       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
+         / length(text) END, {ROUND}) AS punct_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         len(list_filter(toks, x -> list_contains([{stops}], x)))::DOUBLE
+         / len(toks) END, {ROUND}) AS stopword_ratio,
+       round(
+         0.4 * least(length(text) / 500.0, 1.0)
+         + 0.3 * (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
+             / length(text) END) > 0.3 THEN 0.0
+             ELSE 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
+               / length(text) END) / 0.3 END)
+         + 0.3 * (CASE WHEN
+             (CASE WHEN len(toks1) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(toks1, x -> length(x)))::DOUBLE / len(toks1) END)
+             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END),
+         {ROUND}) AS quality,
+       {_fp_sql()} AS fingerprint
+FROM base"""
+
+
+DUPDOCS_CTE = """
+dupdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def exact_dup_groups_sql() -> str:
+    return f"""WITH {DUPDOCS_CTE},
+fp AS (SELECT doc_id, {_fp_sql()} AS fingerprint FROM dupdocs)
+SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
+
+
+def _shingles_cte(source: str = "documents", n: int = 3) -> str:
+    idx = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}'),
+                     x -> length(x) >= {MIN_TOKEN_LENGTH}) AS toks
+  FROM {source}
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                   i -> concat_ws(' ', {idx}))
+  )) AS shingle
+  FROM tokd
+)"""
+
+
+def ngram_jaccard_pairs_sql(threshold: float, n: int = 3,
+                            source: str = "documents") -> str:
+    return f"""WITH {_shingles_cte(source, n)},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), {ROUND}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), {ROUND}) >= {threshold}"""
+
+
+def minhash_signatures_sql(num_perm: int = 4, n: int = 3,
+                           source: str = "documents") -> str:
+    sigs = ", ".join(
+        f"min(md5(shingle || ':{i}')) AS sig_{i}" for i in range(num_perm)
+    )
+    return f"""WITH {_shingles_cte(source, n)}
+SELECT doc_id, {sigs} FROM sh GROUP BY doc_id"""
+
+
+def simhash_sql(bits: int = 32, source: str = "documents") -> str:
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""WITH
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}')) AS term
+  FROM {source}
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE length(term) >= {MIN_TOKEN_LENGTH} GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT AS h
+  FROM tf
+),
+bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
+
+
+def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
+    import math
+
+    qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    qnorm = repr(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
+    return f"""
+WITH scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], {qlit})
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * {qnorm}) AS cos
+  FROM embeddings
+)
+SELECT vec_id, round(cos, {ROUND}) AS cosine
+FROM scored
+ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def rrf_fusion_sql(query_a: str, query_b: str, k: int = 20,
+                   rrf_k: int = 60, limit: int = 10) -> str:
+    return f"""WITH {tf_cte('documents')},
+qa AS ({_query_values(query_a)}),
+qb AS ({_query_values(query_b)}),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT coalesce(sum(tf),0) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM documents) AS avgdl),
+score_a AS (
+  SELECT tf.doc_id,
+         sum(qa.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / c.avgdl)))) AS score
+  FROM tf JOIN qa USING (term) JOIN vocab USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN c GROUP BY tf.doc_id
+),
+score_b AS (
+  SELECT tf.doc_id,
+         sum(qb.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / c.avgdl)))) AS score
+  FROM tf JOIN qb USING (term) JOIN vocab USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN c GROUP BY tf.doc_id
+),
+top_a AS (SELECT doc_id, round(score, {ROUND}) AS score FROM score_a
+          ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {k}),
+top_b AS (SELECT doc_id, round(score, {ROUND}) AS score FROM score_b
+          ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {k}),
+rank_a AS (SELECT doc_id, row_number() OVER
+           (ORDER BY score DESC, doc_id ASC) AS rank_a FROM top_a),
+rank_b AS (SELECT doc_id, row_number() OVER
+           (ORDER BY score DESC, doc_id ASC) AS rank_b FROM top_b),
+fused AS (
+  SELECT doc_id,
+         coalesce(1.0 / ({rrf_k} + rank_a), 0.0)
+         + coalesce(1.0 / ({rrf_k} + rank_b), 0.0) AS score
+  FROM rank_a FULL OUTER JOIN rank_b USING (doc_id)
+)
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM fused ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {limit}"""

@@ -48,8 +48,13 @@ def synthesize_transcripts(
     max_turns: int = 20,
     seed: int = 42,
     num_partitions: int | None = None,
+    words_scale: int = 1,
 ) -> DataFrame:
-    """Deterministic transcripts DataFrame, one row per turn."""
+    """Deterministic transcripts DataFrame, one row per turn.
+
+    ``words_scale`` multiplies every turn's word count (same
+    distribution shape) — used by the scaling benches to make per-core
+    compute dominate fixed orchestration costs."""
     # turns per conversation: 1..max_turns, hash-derived
     convs = spark.range(0, n_convs, 1, num_partitions or spark.sparkContext.defaultParallelism)
     convs = convs.select(
@@ -70,7 +75,7 @@ def synthesize_transcripts(
         F.when(F.pmod(gid, F.lit(41)) == 0, F.lit(0))
         .when(F.pmod(gid, F.lit(37)) == 0, F.lit(300))
         .otherwise(F.pmod(gid, F.lit(60)) + 1)
-    )
+    ) * F.lit(int(words_scale))
     # NB: F.sequence(1, 0) DESCENDS ([1, 0]) rather than being empty —
     # guard the zero-word case explicitly.
     words = F.when(n_words > 0, F.transform(

@@ -1,0 +1,117 @@
+"""Dedup suite: exact, n-gram Jaccard, MinHash+LSH, SimHash — checked
+against brute-force python computations on the same corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from oboyu_spark.functions.text import py_normalize_text, py_tokenize
+from oboyu_spark.operators import dedup as D
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+    (3, "the  quick  brown fox jumps over the lazy dog"),    # ws-normalized dup
+    (4, "the quick brown fox jumps over the sleepy dog"),    # near dup
+    (5, "completely different content about spark indexes"),
+    (6, "spark indexes content completely different about"), # same tokens, diff order
+    (7, "日本語のテキスト処理と形態素解析の話題です"),
+    (8, "日本語のテキスト処理と形態素解析の話題です"),          # exact dup of 7
+    (9, ""),
+]
+
+
+def _shingles(text, n=3):
+    toks = py_tokenize(text)
+    return {" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))}
+
+
+def _jaccard(a, b, n=3):
+    sa, sb = _shingles(a, n), _shingles(b, n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = D.exact_dup_groups(docs).collect()
+    got = {(r["keep_doc_id"], r["n_docs"]) for r in groups}
+    assert got == {(1, 3), (7, 2)}  # {1,2,3} ws-normalized, {7,8}
+
+
+def test_dedup_exact(spark, docs):
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+    assert kept == [1, 4, 5, 6, 7, 9]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    texts = dict(CORPUS)
+    # brute force expectation
+    exp = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _jaccard(texts[a], texts[b])
+        if j >= 0.3:
+            exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(round(exp[k], 6))
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.4)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # exact dups must always collide in every band
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    # NB: docs 7/8 are a single JP token run → fewer than n=3 tokens →
+    # no shingles → invisible to MinHash (exact dedup catches them)
+    assert (7, 8) not in got
+    # near dup (jaccard ~0.5) should be caught with 8 bands of 2 rows
+    assert (1, 4) in got or (2, 4) in got
+    # unrelated docs must not appear
+    assert (5, 7) not in got and (1, 5) not in got
+
+
+def test_minhash_signature_semantics(spark, docs):
+    sig = D.minhash_signatures(docs, num_perm=4).collect()
+    by_id = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(4)) for r in sig}
+    # brute-force: min md5(shingle:i)
+    for doc_id, text in CORPUS:
+        sh = _shingles(text)
+        if not sh:
+            assert doc_id not in by_id
+            continue
+        for i in range(4):
+            exp = min(hashlib.md5(f"{s}:{i}".encode()).hexdigest() for s in sh)
+            assert by_id[doc_id][i] == exp, (doc_id, i)
+
+
+def test_simhash(spark, docs):
+    rows = D.simhash(docs, bits=32).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in rows}
+    assert by_id[1] == by_id[2] == by_id[3]  # identical token multisets
+    assert by_id[7] == by_id[8]
+    assert by_id[5] == by_id[6]  # order-insensitive (bag of words)
+    assert 9 not in by_id  # no tokens → no row
+    # near-dup pair has small hamming distance
+    h14 = bin(by_id[1] ^ by_id[4]).count("1")
+    h15 = bin(by_id[1] ^ by_id[5]).count("1")
+    assert h14 < h15
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = D.simhash_near_pairs(docs, bits=32, max_hamming=6).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0 and got[(7, 8)] == 0 and got[(5, 6)] == 0
+    assert (1, 4) in got
+    assert (1, 5) not in got

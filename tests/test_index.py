@@ -54,10 +54,18 @@ def test_sharding_and_salting(spark, index_dir):
     postings = spark.read.parquet(f"{index_dir}/postings")
     assert postings.select("shard").distinct().count() > 1
     # hot terms (df > salt_chunk=50) must be split into >1 salt chunk
-    hot = postings.filter(F.col("df") > 50)
-    assert hot.count() > 0
+    vocab = spark.read.parquet(f"{index_dir}/vocabulary")
+    hot_h1 = [
+        r["th1"]
+        for r in vocab.filter(F.col("document_frequency") > 50).collect()
+    ]
+    assert hot_h1
     max_salts = (
-        hot.groupBy("shard", "term").count().agg(F.max("count")).collect()[0][0]
+        postings.filter(F.col("th1").isin(hot_h1))
+        .groupBy("shard", "th1")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
     )
     assert max_salts > 1, "expected salted chunks for high-df terms"
     # chunk sizes bounded: no group hugely over salt target within shard
@@ -85,14 +93,26 @@ def test_decode_roundtrip_vs_relational(spark, corpus, index_dir):
         assert max(tfs) == max(r["block_maxtf"])
         assert min(dls) == min(r["block_mindl"])
         for d, t in zip(ids, tfs):
-            got[(r["term"], d)] = got.get((r["term"], d), 0) + t
+            key = ((r["th1"], r["th2"]), d)
+            got[key] = got.get(key, 0) + t
 
     docmap = {
         r["doc_id"]: r["doc_int"]
         for r in spark.read.parquet(f"{index_dir}/docmap").collect()
     }
     tf_rows = TI.term_frequencies(corpus).collect()
-    expected = {(r["term"], docmap[r["doc_id"]]): r["tf"] for r in tf_rows}
+    # map expected term strings to the build's 128-bit hash pairs
+    from oboyu_spark.operators.postings import term_hash_cols
+
+    terms = sorted({r["term"] for r in tf_rows})
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    t2h = {
+        r["term"]: (r["th1"], r["th2"])
+        for r in tdf.select("term", *term_hash_cols(F.col("term"))).collect()
+    }
+    expected = {
+        (t2h[r["term"]], docmap[r["doc_id"]]): r["tf"] for r in tf_rows
+    }
     assert got == expected
 
 

@@ -1,0 +1,79 @@
+"""Similarity search: exact cosine top-k baseline vs numpy brute force,
+LSH-ANN recall against the exact path, LSH near-pair correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oboyu_spark.operators import similarity as S
+
+DIM = 16
+N = 300
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant near-duplicates: vec 10 ~ 11, 20 ~ 21
+    base[11] = base[10] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    base[21] = base[20] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_topk(vectors, q, k):
+    vn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    cos = vn @ qn
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:k]
+    return [(i, float(cos[i])) for i in order]
+
+
+def test_cosine_topk_exact(spark, emb_df, vectors):
+    q = [float(x) for x in vectors[10]]
+    got = S.cosine_topk(emb_df, q, k=8).collect()
+    exp = _brute_topk(vectors.astype(np.float64), q, 8)
+    assert [r["vec_id"] for r in got] == [i for i, _ in exp]
+    for r, (_, c) in zip(got, exp):
+        assert r["cosine"] == pytest.approx(c, rel=1e-6)
+    assert got[0]["vec_id"] == 10  # self
+    assert got[1]["vec_id"] == 11  # planted near-dup
+
+
+def test_lsh_ann_recall(spark, emb_df, vectors):
+    q = [float(x) for x in vectors[20]]
+    exact = {r["vec_id"] for r in S.cosine_topk(emb_df, q, k=5).collect()}
+    ann = {
+        r["vec_id"]
+        for r in S.lsh_ann_topk(emb_df, q, k=5, bits=6, n_tables=4).collect()
+    }
+    # recall@5 with 4 tables of 6 bits should catch the planted pair
+    assert 20 in ann and 21 in ann
+    assert len(exact & ann) >= 3
+
+
+def test_lsh_near_pairs(spark, emb_df):
+    pairs = S.lsh_near_pairs(emb_df, threshold=0.98, bits=6, n_tables=4,
+                             dim=DIM).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (10, 11) in got and (20, 21) in got
+    for r in pairs:
+        assert r["cosine"] >= 0.98
+
+
+def test_deterministic_buckets(spark, emb_df):
+    a = sorted(map(tuple, S.lsh_bucketize(emb_df, DIM, bits=8,
+                                          n_tables=2).select(
+        "vec_id", "table", "bucket").collect()))
+    b = sorted(map(tuple, S.lsh_bucketize(emb_df, DIM, bits=8,
+                                          n_tables=2).select(
+        "vec_id", "table", "bucket").collect()))
+    assert a == b

@@ -1,0 +1,39 @@
+"""Text-analysis operators: language ID, quality, counts, fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oboyu_spark.operators.textstats import text_profile
+
+ROWS = [
+    (1, "The quick brown fox jumps over the lazy dog."),
+    (2, "日本語のテキストです。形態素解析を行います。"),
+    (3, "mixed 日本語 and english テキスト with 数字 123"),
+    (4, ""),
+    (5, "!!! ??? ... ###"),
+    (6, "word " * 200),
+]
+
+
+def test_text_profile(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+
+    assert prof[1]["lang"] == "en"
+    assert prof[2]["lang"] == "ja"
+    assert prof[4]["lang"] == "und"
+    assert prof[4]["n_tokens"] == 0
+    assert prof[1]["n_words"] == 9
+    assert prof[5]["punct_ratio"] > 0.5
+    assert prof[5]["quality"] < prof[1]["quality"]
+    assert prof[6]["quality"] > prof[4]["quality"]
+    # en stopwords present in doc 1
+    assert prof[1]["stopword_ratio"] > 0
+    # fingerprint: stable + whitespace-normalization-invariant
+    docs2 = spark.createDataFrame(
+        [(1, "The  quick\tbrown fox   jumps over the lazy dog.")],
+        "doc_id long, text string",
+    )
+    fp2 = text_profile(docs2).collect()[0]["fingerprint"]
+    assert fp2 == prof[1]["fingerprint"]
