@@ -244,6 +244,37 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_assets(spark, n=100), dim=16)
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7: database-statistics rollup
+    from oboyu_spark.operators.termindex import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs, group_col="lang")
+
+
+def _q_path_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9: include/exclude glob path filters (on the source column)
+    from oboyu_spark.operators.filters import apply_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return apply_filters(
+        docs, path_col="source", include=["src*"], exclude=["src0"]
+    ).select("doc_id", "source")
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q11: snippets + highlighting over hydrated top-k (rows-only check)
+    from oboyu_spark.functions.text import py_tokenize
+    from oboyu_spark.operators.snippets import with_snippets
+
+    docs = _docs(spark, sf_dir)
+    top = B.bm25_search(docs, BM25_Q1, k=10, round_digits=ROUND)
+    hydrated = B.hydrate(top, docs, ["text"])
+    return with_snippets(hydrated, py_tokenize(BM25_Q1)).select(
+        "doc_id", "score", "snippet"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -282,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "multimodal_features": _q_multimodal_features,
+        "corpus_stats": _q_corpus_stats,
+        "path_filtered": _q_path_filtered,
+        "snippets": _q_snippets,
     }
 
 
@@ -312,8 +346,17 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "simhash": O.simhash_sql(bits=32),
         "cosine_topk": O.cosine_topk_sql(QVEC, k=20),
         "rrf_fusion": O.rrf_fusion_sql(RRF_QA, RRF_QB, k=20, limit=10),
+        "corpus_stats": """
+SELECT count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       array_to_string(list_sort(list(DISTINCT lang)), ',') AS groups
+FROM documents""",
+        "path_filtered": """
+SELECT doc_id, source FROM documents
+WHERE regexp_matches(source, '^src.*$')
+  AND NOT regexp_matches(source, '^src0$')""",
         # chunk_documents / minhash_lsh_pairs / lsh_ann_topk /
-        # multimodal_features: intentionally no oracle (python-hash LSH,
-        # free-text chunk bodies, Arrow feature extraction) → the driver
-        # records the weaker rows-only check for these.
+        # multimodal_features / snippets: intentionally no oracle
+        # (python-hash LSH, free-text bodies, Arrow feature extraction)
+        # → the driver records the weaker rows-only check for these.
     }

@@ -116,6 +116,31 @@ def idf_expr(df_col: Column, n_docs: Column) -> Column:
     return F.log((n_docs - df_col + 0.5) / (df_col + 0.5))
 
 
+def corpus_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """A7: database-statistics rollup (reference
+    StatisticsQueries.get_database_statistics,
+    consolidated_queries.py:466-480): row count, distinct ids, the
+    distinct group values concatenated, latest timestamp."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(id_col).alias("n_docs"),
+    ]
+    if group_col:
+        aggs.append(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(group_col))
+            ).alias("groups")
+        )
+    if ts_col:
+        aggs.append(F.max(ts_col).alias("last_modified"))
+    return docs.agg(*aggs)
+
+
 def idf_scores(vocab: DataFrame, cstats: DataFrame) -> DataFrame:
     """(term, idf) for every vocabulary term (A5)."""
     return vocab.crossJoin(F.broadcast(cstats.select("total_documents"))).select(

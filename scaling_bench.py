@@ -53,8 +53,13 @@ shutil.rmtree(d + "_warm", ignore_errors=True)
 
 shutil.rmtree(d, ignore_errors=True)
 t0 = time.time()
+from oboyu_spark.operators.postings import _stage
+_stage(docs, d, "doc_id", "text", 12500, 4, None)
+stage_s = time.time() - t0
+t1 = time.time()
 meta = build_index(docs, d, shard_size=12500, salt_chunk=200000,
-                   shards_per_part=4)
+                   shards_per_part=4)  # staging cached -> times parts+finalize
+parts_s = time.time() - t1
 build_s = time.time() - t0
 queries = [q["text"] for q in generate_queries()]
 search_index(spark, d, queries[:5], k=10).count()  # warmup
@@ -64,8 +69,10 @@ query_s = time.time() - t0
 print("WORKER_RESULT " + json.dumps({
     "cpus": int(cpus), "n_docs": meta["n_docs"],
     "total_terms": meta["total_terms"], "build_s": round(build_s, 2),
+    "stage_s": round(stage_s, 2), "parts_s": round(parts_s, 2),
     "docs_per_s": round(meta["n_docs"] / build_s, 1),
     "tokens_per_s": round(meta["total_terms"] / build_s, 1),
+    "parts_tokens_per_s": round(meta["total_terms"] / parts_s, 1),
     "batch_query_s": round(query_s, 2),
     "qps": round(len(queries) / query_s, 2),
     "n_postings": meta["n_postings"],
@@ -136,8 +143,11 @@ def main() -> None:
             continue
         best[lv] = {
             "build_s": min(x["build_s"] for x in runs[lv]),
+            "stage_s": min(x["stage_s"] for x in runs[lv]),
+            "parts_s": min(x["parts_s"] for x in runs[lv]),
             "docs_per_s": max(x["docs_per_s"] for x in runs[lv]),
             "tokens_per_s": max(x["tokens_per_s"] for x in runs[lv]),
+            "parts_tokens_per_s": max(x["parts_tokens_per_s"] for x in runs[lv]),
             "qps": max(x["qps"] for x in runs[lv]),
             "n_docs": runs[lv][0]["n_docs"],
             "n_postings": runs[lv][0]["n_postings"],
@@ -149,6 +159,9 @@ def main() -> None:
             ratio = b / a
             effs[f"{a}->{b}"] = {
                 "build": round(best[b]["docs_per_s"] / (ratio * best[a]["docs_per_s"]), 3),
+                "build_parts_phase": round(
+                    best[b]["parts_tokens_per_s"]
+                    / (ratio * best[a]["parts_tokens_per_s"]), 3),
                 "query": round(best[b]["qps"] / (ratio * best[a]["qps"]), 3),
             }
 
@@ -174,18 +187,22 @@ def _write_bench_md(report: dict) -> None:
         f"(words_scale={report['corpus']['words_scale']}), "
         f"{next(iter(lv.values()))['n_postings']:,} postings.",
         "",
-        "| local[N] | build sec | build docs/s | build tokens/s | batch qps |",
-        "|---|---|---|---|---|",
+        "| local[N] | build sec | stage sec | parts sec | build tokens/s | parts-phase tokens/s | batch qps |",
+        "|---|---|---|---|---|---|---|",
     ]
     for n, row in sorted(lv.items(), key=lambda kv: int(kv[0])):
         lines.append(
-            f"| {n} | {row['build_s']} | {row['docs_per_s']:,} | "
-            f"{row['tokens_per_s']:,.0f} | {row['qps']} |"
+            f"| {n} | {row['build_s']} | {row['stage_s']} | {row['parts_s']} | "
+            f"{row['tokens_per_s']:,.0f} | {row['parts_tokens_per_s']:,.0f} | "
+            f"{row['qps']} |"
         )
     lines += ["", "## Scaling efficiency (throughput_4N / (4 x throughput_N))", ""]
     for pair, eff in report["efficiency"].items():
-        lines.append(f"- cores {pair}: index build **{eff['build']}**, "
-                     f"batch query **{eff['query']}**")
+        lines.append(
+            f"- cores {pair}: index build end-to-end **{eff['build']}**, "
+            f"index build compute phase (tokenize+aggregate+encode) "
+            f"**{eff['build_parts_phase']}**, batch query **{eff['query']}**"
+        )
     lines += [
         "",
         "Notes: this sandbox is one shared NUMA box — beyond ~8-16 threads the",

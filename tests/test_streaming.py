@@ -1,0 +1,55 @@
+"""Structured-Streaming incremental ingest: two file drops → index
+equals a batch build over the union (gated oracle comparison)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oboyu_spark.operators.postings import build_index, load_meta
+from oboyu_spark.operators.searchidx import search_index
+from oboyu_spark.oracle.pybm25 import PyBM25
+from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
+from oboyu_spark.streaming.ingest import stream_transcripts_into_index
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+
+    tr1 = synthesize_transcripts(spark, n_convs=25, max_turns=6, seed=3)
+    tr2 = synthesize_transcripts(spark, n_convs=15, max_turns=6, seed=5).select(
+        F.concat(F.lit("x"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+
+    # bootstrap the index with the first batch (streaming appends need
+    # an existing staged index)
+    base_docs = turns_as_docs(tr1).select("doc_id", "text")
+    build_index(base_docs, idx, shard_size=50, salt_chunk=60,
+                shards_per_part=2, id_assign_partitions=4)
+
+    # drop batch 2 as files, run the stream once
+    tr2.write.mode("overwrite").parquet(inp)
+    q = stream_transcripts_into_index(spark, inp, idx, chk)
+    q.awaitTermination(120)
+
+    meta = load_meta(idx)
+    n1, n2 = base_docs.count(), tr2.count()
+    assert meta["n_docs"] == n1 + n2
+
+    # rank identity vs the oracle over the union corpus
+    union = [(r["doc_id"], r["text"]) for r in base_docs.collect()] + [
+        (r["doc_id"], r["text"])
+        for r in turns_as_docs(tr2).select("doc_id", "text").collect()
+    ]
+    oracle = PyBM25()
+    oracle.index(union)
+    for query in ["spark index", "検索 分散"]:
+        got = search_index(spark, idx, query, k=10).collect()
+        exp = oracle.search(query, k=10)
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], query
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
