@@ -157,6 +157,14 @@ def search_index(
     if isinstance(queries, str):
         queries = [queries]
     meta = load_meta(index_dir)
+    from .postings import CODEC_VERSION
+
+    if meta.get("codec_version") != CODEC_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has codec_version "
+            f"{meta.get('codec_version')}, engine expects {CODEC_VERSION} "
+            "— rebuild the index"
+        )
     k1, b = meta["k1"], meta["b"]
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     shard_size = meta["shard_size"]
@@ -168,13 +176,19 @@ def search_index(
     if not all_terms or n_docs == 0 or avgdl <= 0:
         return empty
 
-    # hash the query terms exactly as the build did (one tiny job),
-    # then slice the hash-keyed vocabulary for their df
-    from .postings import term_hash_cols
+    # hash the query terms exactly as the build did — driver-side
+    # (pure-python XXH64 pinned against F.xxhash64; saves a Spark job
+    # per search), then slice the hash-keyed vocabulary for their df
+    from ..functions.hashing import spark_xxhash64_str, spark_xxhash64_str_int
+    from .postings import TERM_HASH_SEED2
 
-    tdf = spark.createDataFrame([(t,) for t in all_terms], "term string")
-    hashes = tdf.select("term", *term_hash_cols(F.col("term"))).collect()
-    term_to_hash = {r["term"]: (r["th1"], r["th2"]) for r in hashes}
+    term_to_hash = {
+        t: (
+            spark_xxhash64_str(t),
+            spark_xxhash64_str_int(t, TERM_HASH_SEED2),
+        )
+        for t in all_terms
+    }
     hash_df = spark.createDataFrame(
         [(h1, h2) for h1, h2 in term_to_hash.values()], "th1 long, th2 long"
     )
@@ -234,9 +248,26 @@ def search_index(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
-    docmap = spark.read.parquet(f"{index_dir}/docmap").select("doc_int", "doc_id")
+    # gather the ≤ queries×k winners to the driver, then hydrate keys
+    # from the docmap with an id-pushed filter — the docmap is sorted
+    # by doc_int, so parquet min/max stats prune to the few row groups
+    # containing winners instead of scanning all 10^12 docmap rows
+    top_rows = top.collect()
+    if not top_rows:
+        return empty
+    ids = sorted({int(r["doc_int"]) for r in top_rows})
+    tiny = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["doc_int"]), float(r["score"]))
+         for r in top_rows],
+        "query_id int, doc_int long, score double",
+    )
+    docmap = (
+        spark.read.parquet(f"{index_dir}/docmap")
+        .filter(F.col("doc_int").isin(ids))
+        .select("doc_int", "doc_id")
+    )
     return (
-        docmap.join(F.broadcast(top), "doc_int")
+        docmap.join(F.broadcast(tiny), "doc_int")
         .select("query_id", "doc_id", "score")
         .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
     )
