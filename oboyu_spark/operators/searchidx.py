@@ -153,10 +153,64 @@ def search_index(
 ) -> DataFrame:
     """Top-k over the persisted index. Returns
     (query_id, doc_id <original key>, score), globally tie-broken
-    (score desc, doc_id asc per query)."""
+    (score desc, doc_id asc per query).
+
+    One-shot form — re-reads the index tables per call. For repeated /
+    interactive queries use :class:`IndexReader`, which pins the
+    postings/vocabulary/docmap in executor memory."""
+    return _search(
+        spark,
+        load_meta(index_dir),
+        None,
+        index_dir,
+        queries,
+        k,
+        scorer,
+    )
+
+
+class IndexReader:
+    """Warm query handle: index tables cached in executor memory.
+
+    The serving deployment shape — open once, query many times. The
+    first search pays cache materialization; subsequent searches scan
+    the in-memory columnar cache instead of parquet."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache: bool = True) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = load_meta(index_dir)
+        self._dfs = {
+            "postings": spark.read.parquet(f"{index_dir}/postings"),
+            "vocabulary": spark.read.parquet(f"{index_dir}/vocabulary"),
+            "docmap": spark.read.parquet(f"{index_dir}/docmap"),
+        }
+        if cache:
+            for df in self._dfs.values():
+                df.persist()
+
+    def search(self, queries: str | Sequence[str], k: int = 10,
+               scorer: str = "taat") -> DataFrame:
+        return _search(self.spark, self.meta, self._dfs, self.index_dir,
+                       queries, k, scorer)
+
+    def close(self) -> None:
+        for df in self._dfs.values():
+            df.unpersist()
+
+
+def _search(
+    spark: SparkSession,
+    meta: dict,
+    dfs: dict | None,
+    index_dir: str,
+    queries: str | Sequence[str],
+    k: int,
+    scorer: str,
+) -> DataFrame:
     if isinstance(queries, str):
         queries = [queries]
-    meta = load_meta(index_dir)
     from .postings import CODEC_VERSION
 
     if meta.get("codec_version") != CODEC_VERSION:
@@ -165,6 +219,12 @@ def search_index(
             f"{meta.get('codec_version')}, engine expects {CODEC_VERSION} "
             "— rebuild the index"
         )
+
+    def table(name: str) -> DataFrame:
+        if dfs is not None:
+            return dfs[name]
+        return spark.read.parquet(f"{index_dir}/{name}")
+
     k1, b = meta["k1"], meta["b"]
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     shard_size = meta["shard_size"]
@@ -193,7 +253,7 @@ def search_index(
         [(h1, h2) for h1, h2 in term_to_hash.values()], "th1 long, th2 long"
     )
     vocab = (
-        spark.read.parquet(f"{index_dir}/vocabulary")
+        table("vocabulary")
         .join(F.broadcast(hash_df), ["th1", "th2"])
         .collect()
     )
@@ -218,9 +278,7 @@ def search_index(
     }
     idf_map = idf_by_hash
     live_h1 = sorted({h1 for h1, _ in idf_by_hash})
-    postings = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("th1").isin(live_h1)
-    )
+    postings = table("postings").filter(F.col("th1").isin(live_h1))
 
     from .postings import load_tombstones
 
@@ -262,7 +320,7 @@ def search_index(
         "query_id int, doc_int long, score double",
     )
     docmap = (
-        spark.read.parquet(f"{index_dir}/docmap")
+        table("docmap")
         .filter(F.col("doc_int").isin(ids))
         .select("doc_int", "doc_id")
     )

@@ -142,3 +142,18 @@ def test_search_single_query_string(spark, index_dir):
 
 def test_search_no_matching_terms(spark, index_dir):
     assert search_index(spark, index_dir, "zzz qqq", k=5).count() == 0
+
+
+def test_index_reader_matches_oneshot(spark, index_dir):
+    from oboyu_spark.operators.searchidx import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    try:
+        for q in ["spark index", "検索 索引", "zzz"]:
+            a = [(r["doc_id"], r["score"])
+                 for r in search_index(spark, index_dir, q, k=8).collect()]
+            b = [(r["doc_id"], r["score"])
+                 for r in reader.search(q, k=8).collect()]
+            assert a == b, q
+    finally:
+        reader.close()

@@ -103,6 +103,39 @@ def test_append_matches_full_rebuild_oracle(spark, tmp_path):
             assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
 
 
+def test_update_docs_via_delete_append(spark, tmp_path):
+    """FIXTURES.md F7: 'modified' turns = delete + append — after
+    compaction the index equals a fresh build over the updated corpus."""
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark, n_convs=30)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, **KW)
+
+    victims = [r["doc_id"] for r in docs.limit(5).collect()]
+    updated = docs.filter(F.col("doc_id").isin(victims)).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated revision text")).alias("text")
+    )
+    delete_docs(spark, d, victims)
+    compact_index(spark, d)
+    append_docs(updated, d)
+
+    final_corpus = [
+        (r["doc_id"],
+         r["text"] + " updated revision text" if r["doc_id"] in set(victims)
+         else r["text"])
+        for r in docs.collect()
+    ]
+    oracle = PyBM25()
+    oracle.index(final_corpus)
+    got = _results(spark, d, k=10)
+    for qid, q in enumerate(QUERIES):
+        exp = oracle.search(q, k=10)
+        assert [x[0] for x in got.get(qid, [])] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(got.get(qid, []), exp):
+            assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
+
+
 def test_delete_then_compact(spark, tmp_path):
     docs = _corpus(spark, n_convs=40)
     d = str(tmp_path / "idx")
