@@ -95,6 +95,21 @@ def _q_bm25_topk_dup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bm25_search(_docs(spark, sf_dir), BM25_Q3, k=20, round_digits=ROUND)
 
 
+def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north rule: posting-list intersection (AND semantics)
+    return B.bm25_search(
+        _docs(spark, sf_dir), BM25_Q1, k=20, round_digits=ROUND, mode="and"
+    )
+
+
+def _q_bm25_topk_lucene_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY §0.1 impl (2): the reference's SQL-spec IDF variant
+    return B.bm25_search(
+        _docs(spark, sf_dir), BM25_Q2, k=20, round_digits=ROUND,
+        idf_variant="lucene_log10",
+    )
+
+
 def _q_bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q10: hydrate top-k back to document content
     docs = _docs(spark, sf_dir)
@@ -297,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_2": _q_bm25_topk_2,
         "bm25_topk_dup_terms": _q_bm25_topk_dup_terms,
+        "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
+        "bm25_topk_lucene_idf": _q_bm25_topk_lucene_idf,
         "bm25_hydrated": _q_bm25_hydrated,
         "like_search": _q_like_search,
         "transcripts_bm25": _q_transcripts_bm25,
@@ -329,6 +346,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": O.bm25_topk_sql(BM25_Q1, k=20),
         "bm25_topk_2": O.bm25_topk_sql(BM25_Q2, k=20),
         "bm25_topk_dup_terms": O.bm25_topk_sql(BM25_Q3, k=20),
+        "bm25_topk_conjunctive": O.bm25_topk_sql(BM25_Q1, k=20, mode="and"),
+        "bm25_topk_lucene_idf": O.bm25_topk_sql(
+            BM25_Q2, k=20, idf_variant="lucene_log10"
+        ),
         "bm25_hydrated": f"""
 WITH top AS ({O.bm25_topk_sql(BM25_Q1, k=10)})
 SELECT d.doc_id, top.score, d.text, d.lang

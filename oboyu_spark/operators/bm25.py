@@ -62,14 +62,22 @@ def bm25_scores(
     query_terms: Sequence[str],
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    mode: str = "or",
+    idf_variant: str = "raw_ln",
 ) -> DataFrame:
-    """(doc_id, score) for every doc matching ≥1 query term.
+    """(doc_id, score).
+
+    ``mode="or"`` (reference semantics): every doc matching ≥1 query
+    term, disjunctive SUM. ``mode="and"`` (north-rule posting-list
+    intersection): only docs containing ALL distinct query terms — if
+    any query term is absent from the corpus the result is empty.
 
     ``tf``: (doc_id, term, tf); ``vocab``: (term, document_frequency, _);
     ``doc_stats``: (doc_id, total_terms, ...); ``cstats``: singleton.
     """
     spark = tf.sparkSession
     qdf = query_term_weights(spark, query_terms)
+    n_distinct_terms = len(set(query_terms))
 
     # Tiny per-term side: query terms ⋈ vocabulary ⋈ collection scalars.
     qterm = (
@@ -78,9 +86,10 @@ def bm25_scores(
         .select(
             "term",
             "qtf",
-            idf_expr(F.col("document_frequency"), F.col("total_documents")).alias(
-                "idf"
-            ),
+            idf_expr(
+                F.col("document_frequency"), F.col("total_documents"),
+                idf_variant,
+            ).alias("idf"),
             F.col("avg_document_length").alias("avgdl"),
         )
     )
@@ -98,7 +107,15 @@ def bm25_scores(
             + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
         )
     )
-    return with_dl.groupBy("doc_id").agg(F.sum(term_score).alias("score"))
+    agg = with_dl.groupBy("doc_id").agg(
+        F.sum(term_score).alias("score"),
+        F.count(F.lit(1)).alias("_nt"),  # (doc,term) rows are distinct
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("_nt") == n_distinct_terms)
+    elif mode != "or":
+        raise ValueError(f"unknown mode {mode!r}")
+    return agg.drop("_nt")
 
 
 def topk(scores: DataFrame, k: int, round_digits: int | None = None) -> DataFrame:
@@ -137,6 +154,8 @@ def bm25_search(
     b: float = B_DEFAULT,
     round_digits: int | None = None,
     min_token_length: int = 2,
+    mode: str = "or",
+    idf_variant: str = "raw_ln",
 ) -> DataFrame:
     """End-to-end BM25 over a raw docs DataFrame (index built inline).
 
@@ -150,7 +169,8 @@ def bm25_search(
     ds = document_stats(tf)
     vocab = vocabulary(tf)
     cs = collection_stats(docs, ds)
-    scores = bm25_scores(tf, vocab, ds, cs, terms, k1=k1, b=b)
+    scores = bm25_scores(tf, vocab, ds, cs, terms, k1=k1, b=b, mode=mode,
+                         idf_variant=idf_variant)
     return topk(scores, k, round_digits=round_digits)
 
 

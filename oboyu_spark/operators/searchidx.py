@@ -79,7 +79,14 @@ def make_taat_scorer(
     k: int,
     shard_size: int,
     tomb: np.ndarray | None = None,
+    mode: str = "or",
+    qreq: dict[int, int] | None = None,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """``mode="and"``: posting-list intersection — a doc qualifies only
+    when it contains ALL of the query's distinct terms (``qreq[qid]``
+    counts them, including terms absent from the corpus, which then
+    make the query return empty)."""
+
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         base = shard * shard_size
@@ -96,9 +103,14 @@ def make_taat_scorer(
         out_s: list[np.ndarray] = []
         acc = np.zeros(shard_size, dtype=np.float64)
         touched = np.zeros(shard_size, dtype=bool)
+        ntm = np.zeros(shard_size, dtype=np.int32) if mode == "and" else None
         for qid, qterms in qmap.items():
+            if mode == "and" and qreq is not None and len(qterms) < qreq[qid]:
+                continue  # some query term absent from corpus → empty
             acc[:] = 0.0
             touched[:] = False
+            if ntm is not None:
+                ntm[:] = 0
             hit = False
             for term, qtf in qterms:
                 idf = idf_map.get(term)
@@ -108,10 +120,16 @@ def make_taat_scorer(
                 for ids, wtf in decoded.get(term, []):
                     acc[ids] += w * wtf
                     touched[ids] = True
+                    if ntm is not None:
+                        ntm[ids] += 1  # salt chunks are doc-disjoint
                     hit = True
             if not hit:
                 continue
             cand = np.flatnonzero(touched)
+            if ntm is not None:
+                cand = cand[ntm[cand] == qreq[qid]]
+                if cand.size == 0:
+                    continue
             s = acc[cand]
             # deterministic local top-k: (score desc, doc asc)
             order = np.lexsort((cand, -s))[:k]
@@ -150,10 +168,13 @@ def search_index(
     queries: str | Sequence[str],
     k: int = 10,
     scorer: str = "taat",
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k over the persisted index. Returns
     (query_id, doc_id <original key>, score), globally tie-broken
-    (score desc, doc_id asc per query).
+    (score desc, doc_id asc per query). ``mode="and"`` = posting-list
+    intersection (docs containing ALL distinct query terms; always the
+    TAAT scorer).
 
     One-shot form — re-reads the index tables per call. For repeated /
     interactive queries use :class:`IndexReader`, which pins the
@@ -166,6 +187,7 @@ def search_index(
         queries,
         k,
         scorer,
+        mode,
     )
 
 
@@ -191,9 +213,9 @@ class IndexReader:
                 df.persist()
 
     def search(self, queries: str | Sequence[str], k: int = 10,
-               scorer: str = "taat") -> DataFrame:
+               scorer: str = "taat", mode: str = "or") -> DataFrame:
         return _search(self.spark, self.meta, self._dfs, self.index_dir,
-                       queries, k, scorer)
+                       queries, k, scorer, mode)
 
     def close(self) -> None:
         for df in self._dfs.values():
@@ -208,6 +230,7 @@ def _search(
     queries: str | Sequence[str],
     k: int,
     scorer: str,
+    mode: str = "or",
 ) -> DataFrame:
     if isinstance(queries, str):
         queries = [queries]
@@ -229,6 +252,9 @@ def _search(
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     shard_size = meta["shard_size"]
     qmap, all_terms = _query_maps(queries, meta["min_token_length"])
+    # distinct-term requirement per query for conjunctive mode, counted
+    # BEFORE vocabulary filtering (absent terms make "and" empty)
+    qreq = {qid: len(qterms) for qid, qterms in qmap.items()}
 
     empty = spark.createDataFrame(
         [], "query_id int, doc_id string, score double"
@@ -287,7 +313,11 @@ def _search(
         np.array(sorted(tomb_set), dtype=np.int64) if tomb_set else None
     )
 
-    if scorer == "taat":
+    if mode == "and":
+        # intersection needs per-doc matched-term counts → TAAT
+        fn = make_taat_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size,
+                              tomb, mode="and", qreq=qreq)
+    elif scorer == "taat":
         fn = make_taat_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size, tomb)
     elif scorer == "bmw":
         from .wand import make_bmw_scorer

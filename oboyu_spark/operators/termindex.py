@@ -111,9 +111,22 @@ def collection_stats(
     )
 
 
-def idf_expr(df_col: Column, n_docs: Column) -> Column:
-    """ln((N - df + 0.5) / (df + 0.5)) — natural log, no +1, may be < 0."""
-    return F.log((n_docs - df_col + 0.5) / (df_col + 0.5))
+def idf_expr(df_col: Column, n_docs: Column, variant: str = "raw_ln") -> Column:
+    """IDF, two variants per SURVEY §0.1:
+
+    - "raw_ln" (default): ln((N-df+0.5)/(df+0.5)) — the reference's
+      in-memory implementation; no +1, negative for df > N/2.
+    - "lucene_log10": log10((N-df+0.5)/(df+0.5) + 1) — the reference's
+      SQL specification (consolidated_queries.py:383, DuckDB LOG is
+      base-10); non-negative, rank-compatible with the +1-free natural
+      log only when no term crosses df > N/2.
+    """
+    ratio = (n_docs - df_col + 0.5) / (df_col + 0.5)
+    if variant == "raw_ln":
+        return F.log(ratio)
+    if variant == "lucene_log10":
+        return F.log10(ratio + 1.0)
+    raise ValueError(f"unknown idf variant {variant!r}")
 
 
 def corpus_stats(

@@ -100,19 +100,25 @@ class PyBM25:
             s += idf * (num / den)
         return s
 
-    def search(self, query: str, k: int = 10) -> list[tuple[object, float]]:
+    def search(self, query: str, k: int = 10,
+               mode: str = "or") -> list[tuple[object, float]]:
         terms = py_tokenize(
             query,
             min_token_length=self.min_token_length,
             stop_words=self.stop_words,
         )
-        # Matched docs = docs sharing >=1 query term — ranked even when
-        # the summed score is 0 or negative (SQL-spec semantics:
-        # consolidated_queries.py:399-402 ranks every matched chunk).
+        # mode="or": matched docs = docs sharing >=1 query term — ranked
+        # even when the summed score is 0 or negative (SQL-spec
+        # semantics: consolidated_queries.py:399-402 ranks every matched
+        # chunk). mode="and": posting-list intersection — every distinct
+        # query term must occur in the doc.
         tset = set(terms)
         scored = []
         for doc_id, tfs in self.doc_tfs.items():
-            if tset.isdisjoint(tfs):
+            if mode == "and":
+                if not tset or not tset.issubset(tfs):
+                    continue
+            elif tset.isdisjoint(tfs):
                 continue
             scored.append((doc_id, self.score(terms, doc_id)))
         scored.sort(key=lambda x: (-x[1], x[0]))

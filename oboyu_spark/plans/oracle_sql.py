@@ -99,11 +99,25 @@ def bm25_topk_sql(
     table: str = "documents",
     k1: float = 1.2,
     b: float = 0.75,
+    mode: str = "or",
+    idf_variant: str = "raw_ln",
 ) -> str:
     """Full BM25 top-k: the reference's search_by_bm25 SQL
     (consolidated_queries.py:365-425) restated with ln-IDF and the fixed
     (score DESC, doc_id ASC) tie-break applied to ROUNDED scores so the
-    boundary is float-noise-proof on both engines."""
+    boundary is float-noise-proof on both engines.
+
+    ``mode="and"`` adds the posting-list-intersection HAVING clause;
+    ``idf_variant="lucene_log10"`` = log10(ratio + 1) (the reference's
+    SQL-spec variant)."""
+    n_distinct = len(set(py_tokenize(query)))
+    having = f"HAVING count(*) = {n_distinct}" if mode == "and" else ""
+    if idf_variant == "raw_ln":
+        idf = "ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))"
+    elif idf_variant == "lucene_log10":
+        idf = "log10((c.n - vocab.df + 0.5) / (vocab.df + 0.5) + 1.0)"
+    else:
+        raise ValueError(idf_variant)
     return f"""WITH {tf_cte(table)},
 q AS ({_query_values(query)}),
 vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
@@ -113,7 +127,7 @@ c AS (SELECT (SELECT count(*) FROM {table})::DOUBLE AS n,
              / (SELECT count(*) FROM {table}) AS avgdl),
 scored AS (
   SELECT tf.doc_id,
-         sum(q.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+         sum(q.qtf * {idf}
              * (tf.tf * ({k1} + 1.0))
              / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / c.avgdl)))) AS score
   FROM tf
@@ -122,6 +136,7 @@ scored AS (
   JOIN dl USING (doc_id)
   CROSS JOIN c
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT doc_id, round(score, {ROUND}) AS score
 FROM scored

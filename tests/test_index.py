@@ -144,6 +144,22 @@ def test_search_no_matching_terms(spark, index_dir):
     assert search_index(spark, index_dir, "zzz qqq", k=5).count() == 0
 
 
+def test_conjunctive_mode(spark, corpus, index_dir):
+    docs_local = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    oracle = PyBM25()
+    oracle.index(docs_local)
+    for q in ["spark index", "検索 索引", "spark zzz_missing", "分散 処理 高速"]:
+        got = search_index(spark, index_dir, q, k=15, mode="and").collect()
+        exp = oracle.search(q, k=15, mode="and")
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], q
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9), q
+        # AND results ⊆ OR results
+        or_docs = {r["doc_id"]
+                   for r in search_index(spark, index_dir, q, k=1000).collect()}
+        assert {r["doc_id"] for r in got} <= or_docs
+
+
 def test_index_reader_matches_oneshot(spark, index_dir):
     from oboyu_spark.operators.searchidx import IndexReader
 
