@@ -135,6 +135,29 @@ def wtf_upper(maxtf, mindl, k1: float, b: float, avgdl: float):
     return t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * (d / avgdl)))
 
 
+def shuffle_bytes(spark: SparkSession) -> tuple[int, int] | None:
+    """Cumulative (shuffle write, shuffle read) bytes for this app from
+    the live AppStatusStore — the north rule asks for shuffle bytes in
+    the per-partition build metrics. Best-effort (internal API): returns
+    None if the py4j path changes across Spark versions."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm, gw = sc._jvm, sc._gateway
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        tw = tr = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            tw += s.shuffleWriteBytes()
+            tr += s.shuffleReadBytes()
+        return int(tw), int(tr)
+    except Exception:
+        return None
+
+
 def _manifest_path(index_dir: str, p: int) -> str:
     return f"{index_dir}/manifest/part-{p:05d}.json"
 
@@ -304,6 +327,7 @@ def _build_one_part(
     for the vocab partial, and the (shard, term, salt) encode shuffle.
     """
     t0 = time.time()
+    sh0 = shuffle_bytes(spark)
     sub = spark.read.parquet(f"{index_dir}/staged").filter(F.col("bpart") == p)
 
     from .termindex import with_tokens
@@ -394,11 +418,19 @@ def _build_one_part(
         ).alias("bytes"),
     ).collect()[0]
     elapsed = time.time() - t0
+    sh1 = shuffle_bytes(spark)
+    # NB: with concurrent part builds the app-level delta attributes
+    # overlapping stages to whichever part reads it — per-part shuffle
+    # bytes are exact only in sequential builds; totals always are.
+    shuffle_w = (sh1[0] - sh0[0]) if (sh0 and sh1) else None
+    shuffle_r = (sh1[1] - sh0[1]) if (sh0 and sh1) else None
     return {
         "bpart": p,
         "status": "done",
         "n_docs": int(n_docs_part),
         "tokens": tokens_part,
+        "shuffle_write_bytes": shuffle_w,
+        "shuffle_read_bytes": shuffle_r,
         "posting_rows": int(agg["rows"]),
         "n_postings": int(agg["postings"]),
         "compressed_payload_bytes": int(agg["bytes"]),
@@ -503,6 +535,12 @@ def finalize_index(
             pm.get("compressed_payload_bytes", 0) for pm in parts
         ),
         "n_parts": len(parts),
+        "shuffle_write_bytes": sum(
+            pm.get("shuffle_write_bytes") or 0 for pm in parts
+        ),
+        "shuffle_read_bytes": sum(
+            pm.get("shuffle_read_bytes") or 0 for pm in parts
+        ),
         "build_seconds": round(total_secs, 3),
         "docs_per_sec": round(n_docs / total_secs, 2) if total_secs > 0 else None,
         "tokens_per_sec": round(total_terms / total_secs, 2)
