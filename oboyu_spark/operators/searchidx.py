@@ -107,10 +107,6 @@ def make_taat_scorer(
         for qid, qterms in qmap.items():
             if mode == "and" and qreq is not None and len(qterms) < qreq[qid]:
                 continue  # some query term absent from corpus → empty
-            acc[:] = 0.0
-            touched[:] = False
-            if ntm is not None:
-                ntm[:] = 0
             hit = False
             for term, qtf in qterms:
                 idf = idf_map.get(term)
@@ -125,17 +121,24 @@ def make_taat_scorer(
                     hit = True
             if not hit:
                 continue
-            cand = np.flatnonzero(touched)
+            all_cand = np.flatnonzero(touched)
+            cand = all_cand
             if ntm is not None:
                 cand = cand[ntm[cand] == qreq[qid]]
-                if cand.size == 0:
-                    continue
-            s = acc[cand]
-            # deterministic local top-k: (score desc, doc asc)
-            order = np.lexsort((cand, -s))[:k]
-            out_q.append(qid)
-            out_d.append(cand[order] + base)
-            out_s.append(s[order])
+            if cand.size:
+                s = acc[cand]
+                # deterministic local top-k: (score desc, doc asc)
+                order = np.lexsort((cand, -s))[:k]
+                out_q.append(qid)
+                out_d.append(cand[order] + base)
+                out_s.append(s[order])
+            # reset only the touched region — O(matched), not
+            # O(shard_size), per query (matters for 120-query batches
+            # over 1M-doc shards)
+            acc[all_cand] = 0.0
+            touched[all_cand] = False
+            if ntm is not None:
+                ntm[all_cand] = 0
         if not out_q:
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype="int32"),

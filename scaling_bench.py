@@ -48,17 +48,17 @@ d = f"/tmp/scale_idx_{cpus}"
 # worker startup doesn't masquerade as non-scaling work in the timing
 shutil.rmtree(d + "_warm", ignore_errors=True)
 build_index(docs.limit(8000), d + "_warm", shard_size=12500,
-            salt_chunk=200000, shards_per_part=4)
+            salt_chunk=200000, shards_per_part=8)
 shutil.rmtree(d + "_warm", ignore_errors=True)
 
 shutil.rmtree(d, ignore_errors=True)
 t0 = time.time()
 from oboyu_spark.operators.postings import _stage
-_stage(docs, d, "doc_id", "text", 12500, 4, None)
+_stage(docs, d, "doc_id", "text", 12500, 8, None)
 stage_s = time.time() - t0
 t1 = time.time()
 meta = build_index(docs, d, shard_size=12500, salt_chunk=200000,
-                   shards_per_part=4)  # staging cached -> times parts+finalize
+                   shards_per_part=8)  # staging cached -> times parts+finalize
 parts_s = time.time() - t1
 build_s = time.time() - t0
 queries = [q["text"] for q in generate_queries()]
