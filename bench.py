@@ -40,7 +40,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
     from oboyu_spark.operators.bm25 import bm25_search
-    from oboyu_spark.operators.postings import build_index, load_meta
+    from oboyu_spark.operators.postings import build_index
     from oboyu_spark.operators.searchidx import search_index
     from oboyu_spark.session import get_spark
     from oboyu_spark.sources.queries import generate_queries

@@ -9,8 +9,12 @@ explicit salting, checkpoint-resume with per-partition lineage):
                                    deterministic input snapshot; resume
                                    and compaction re-read this, never
                                    the live source
-      postings/shard=K/*.parquet   one row per (term, salt-chunk):
-          term string, salt int, df long, n long,
+      postings/bpart=P/*.parquet   one row per (term-hash, salt-chunk),
+                                   rows sorted by th1 for row-group
+                                   pruning; each part owns its own root
+                                   so part builds run concurrently:
+          th1 long, th2 long — 128-bit term hash pair (see below)
+          shard long, salt int, n long,
           gaps binary   — delta-gap+varbyte doc ints (ascending)
           tfs binary    — varbyte term frequencies
           dls binary    — varbyte doc lengths (denormalized ⇒ no
@@ -22,7 +26,7 @@ explicit salting, checkpoint-resume with per-partition lineage):
           QUERY time from current k1/b/avgdl — wtf is monotone ↑ in tf
           and ↓ in dl, so the bound stays valid when collection stats
           drift under incremental appends)
-      vocab_parts/bpart=P/         per-partition (term, df, cf) partials
+      vocab_parts/bpart=P/         per-partition (th1, th2, df, cf)
       vocabulary/                  global merge of the partials
       docmap/bpart=P/              (doc_id, doc_int, dl)
       tombstones/                  deleted doc_ints (applied at decode;
@@ -58,7 +62,6 @@ here is a from-scratch Spark design, not a port.
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from typing import Iterable

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKEN_PATTERN, tokens_expr
+from ..functions.text import tokens_expr
 
 _JP_CLASS = "[぀-ゟ゠-ヿ一-鿿]"
 _LATIN_CLASS = "[a-zA-Z]"

@@ -23,7 +23,6 @@ the operational "keep the index fresh" add-on.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from ..sources.transcripts import turns_as_docs
 

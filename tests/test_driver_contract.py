@@ -6,11 +6,14 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with ORACLE_SF_DIR=/root/testdata/sf0.1 for a larger-scale run
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
