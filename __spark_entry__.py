@@ -219,6 +219,17 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, QVEC, k=20, round_digits=ROUND)
 
 
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference DEFAULT mode (search_engine.py:87-112): BM25 branch +
+    # vector-cosine branch → RRF; embeddings.vec_id aligns with doc_id
+    from oboyu_spark.operators.hybrid import hybrid_search
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_search(docs, emb, BM25_Q1, QVEC, k_each=20, limit=10,
+                         round_digits=ROUND)
+
+
 def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.fusion import rrf_fuse
 
@@ -254,9 +265,12 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oboyu_spark.operators.multimodal import extract_features, synthesize_assets
+    # Arrow mapInPandas feature extraction, projected to one hashable
+    # (asset_id, kind, dim_idx, value) row per dimension — exact-oracle
+    # checked (values are k/128−1, bit-identical in DuckDB)
+    from oboyu_spark.operators.multimodal import feature_rows, synthesize_assets
 
-    return extract_features(synthesize_assets(spark, n=100), dim=16)
+    return feature_rows(synthesize_assets(spark, n=100), dim=16)
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "rrf_fusion": _q_rrf_fusion,
+        "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -366,7 +381,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "minhash_signatures": O.minhash_signatures_sql(num_perm=4),
         "simhash": O.simhash_sql(bits=32),
         "cosine_topk": O.cosine_topk_sql(QVEC, k=20),
+        "multimodal_features": O.multimodal_features_sql(n=100, dim=16),
         "rrf_fusion": O.rrf_fusion_sql(RRF_QA, RRF_QB, k=20, limit=10),
+        "hybrid_topk": O.hybrid_topk_sql(BM25_Q1, QVEC, k_each=20, limit=10),
         "corpus_stats": """
 SELECT count(*)::BIGINT AS n_rows,
        count(DISTINCT doc_id)::BIGINT AS n_docs,
@@ -377,7 +394,6 @@ SELECT doc_id, source FROM documents
 WHERE regexp_matches(source, '^src.*$')
   AND NOT regexp_matches(source, '^src0$')""",
         # chunk_documents / minhash_lsh_pairs / lsh_ann_topk /
-        # multimodal_features / snippets: intentionally no oracle
-        # (python-hash LSH, free-text bodies, Arrow feature extraction)
-        # → the driver records the weaker rows-only check for these.
+        # snippets: intentionally no oracle (python-hash LSH, free-text
+        # bodies) → the driver records the weaker rows-only check.
     }

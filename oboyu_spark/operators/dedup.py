@@ -6,8 +6,10 @@ declarative DataFrame plans with deliberate scale hygiene:
 - hashing uses md5 (identical hex string in Spark and DuckDB → every
   operator here is oracle-checkable cell-exact); a 64-bit xxhash64 fast
   path exists where oracle parity isn't needed
-- hot shingles (df > max_shingle_df) are dropped before any self-join —
-  the classic guard against quadratic pair blowup on boilerplate
+- hot shingles (df > max_shingle_df, finite by default) are dropped
+  before any self-join — the classic guard against quadratic pair
+  blowup on boilerplate; Jaccard is still verified exactly over the
+  candidates' full shingle sets
 - the pair joins are equi-joins on (shingle) / (band, key) with the
   a.doc < b.doc triangle filter, i.e. shuffle-partitioned by the join
   key; no crossJoin anywhere
@@ -100,22 +102,59 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with set-Jaccard ≥ threshold.
 
-    Exact: |A∩B| from the shingle equi-self-join, |A∪B| = |A|+|B|−|A∩B|.
+    Scale guard (ON by default): candidate pairs are generated only
+    from shingles whose df ≤ ``max_shingle_df`` — the self-join is
+    bounded by cap² per shingle instead of being quadratic on
+    boilerplate (one shingle shared by 1M docs = 10¹² join rows
+    unguarded). Jaccard is then verified EXACTLY over the candidates'
+    FULL shingle sets, hot shingles included, so every emitted value is
+    the true set-Jaccard. The only approximation is recall: a pair
+    whose every shared shingle is hotter than the cap is missed — at a
+    near-dup threshold that pair is boilerplate-only overlap by
+    definition. ``max_shingle_df=None`` opts out (exhaustive
+    self-join; only safe on corpora known to be boilerplate-free).
     """
-    sh = doc_shingles(docs, n, id_col, text_col, max_shingle_df)
+    sh = doc_shingles(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if max_shingle_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(rare, "shingle", "left_semi")
+        a = cand_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = cand_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # exact verify: true |A∩B| over the full shingle sets of the
+        # candidate pairs only (hot shingles count here)
+        full_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        full_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            cand.join(full_a, "doc_a")
+            .join(full_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("n_sh", "na"), "doc_a")
@@ -180,25 +219,34 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.md5(F.concat_ws("|", *cols)).alias(f"band_{bnd}")
         )
-    banded = sig.select("doc_id", *band_cols,
-                        *[f"sig_{i}" for i in range(num_perm)])
+    # band joins shuffle ONLY (doc_id, band key) — the 2P signature
+    # columns are re-attached once, after candidate dedup, instead of
+    # being carried through every band join's shuffle
+    banded = sig.select("doc_id", *band_cols)
 
     cand = None
     for bnd in range(bands):
         a = banded.select(
             F.col("doc_id").alias("doc_a"),
             F.col(f"band_{bnd}").alias("bkey"),
-            *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_perm)],
         )
         b = banded.select(
             F.col("doc_id").alias("doc_b"),
             F.col(f"band_{bnd}").alias("bkey"),
-            *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_perm)],
         )
         p = a.join(b, "bkey").filter(F.col("doc_a") < F.col("doc_b")).drop("bkey")
         cand = p if cand is None else cand.unionByName(p)
 
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_perm)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_perm)],
+    )
+    cand = cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
     agree = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         for i in range(num_perm)
@@ -234,7 +282,16 @@ def simhash(
     Relational formulation: explode (doc, term, tf), then `bits`
     conditional sums in ONE hash aggregate (single shuffle), then the
     bit recomposition as a plain expression.
+
+    ``bits`` ≤ 62: the fingerprint is recomposed into a signed long
+    (2^63 would overflow the literal). For a 64-bit fingerprint, run
+    two 32-bit halves over independent term-hash slices.
     """
+    if not 1 <= bits <= 62:
+        raise ValueError(
+            f"bits={bits} out of range 1..62 — the signed-long "
+            "recomposition cannot hold 2^63; use two 32-bit halves"
+        )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_expr(F.col(text_col), min_token_length)).alias("term"),

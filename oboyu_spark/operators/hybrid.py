@@ -1,0 +1,77 @@
+"""Hybrid search — the reference's DEFAULT retrieval mode.
+
+Reference semantics (src/oboyu/retriever/search/search_engine.py:87-112):
+vector search and BM25 run independently, each returns an expanded
+top-k, and the two ranked lists are fused (RRF by default,
+hybrid_search_combiner.py:33-112; legacy weighted mode
+hybrid_search.py:14-60). The reference generates embeddings with an
+ONNX model at index time; no embedding model exists in this sandbox,
+so the vector branch reads a precomputed embedding table
+(vec_id aligned with doc_id — the driver's embeddings.parquet) and the
+composition itself is the operator under test.
+
+Spark shape: both branches are top-k lists (≤ k_each rows) before the
+fusion join, so the fusion windows/joins run on driver-trivial row
+counts regardless of corpus size; the heavy lifting stays inside the
+BM25 scatter-gather and the (optionally LSH-bucketed) vector scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import bm25_search
+from .fusion import RRF_K_DEFAULT, normalize_scores, rrf_fuse, weighted_fuse
+from .similarity import cosine_topk, lsh_ann_topk
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    query_vec: Sequence[float],
+    k_each: int = 20,
+    limit: int = 10,
+    mode: str = "rrf",
+    rrf_k: int = RRF_K_DEFAULT,
+    weight_text: float = 0.5,
+    ann: bool = False,
+    round_digits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, score) — fused BM25 + vector top-k.
+
+    ``mode="rrf"``: reciprocal-rank fusion (reference default);
+    ``mode="weighted"``: min-max-normalized weighted sum (legacy mode).
+    ``ann=True`` routes the vector branch through the LSH-bucketed
+    scan instead of the exact full scan (the 100 TB path).
+    """
+    text_top = bm25_search(docs, query, k=k_each, round_digits=round_digits)
+    if ann:
+        vec_raw = lsh_ann_topk(embeddings, query_vec, k=k_each,
+                               id_col=id_col, vec_col=vec_col)
+    else:
+        vec_raw = cosine_topk(embeddings, query_vec, k=k_each,
+                              id_col=id_col, vec_col=vec_col,
+                              round_digits=round_digits)
+    vec_top = vec_raw.select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    if mode == "rrf":
+        fused = rrf_fuse(text_top, vec_top, rrf_k=rrf_k, limit=limit)
+    elif mode == "weighted":
+        fused = weighted_fuse(
+            normalize_scores(text_top), normalize_scores(vec_top),
+            weight_a=weight_text, weight_b=1.0 - weight_text, limit=limit,
+        )
+    else:
+        raise ValueError(f"unknown hybrid mode {mode!r}")
+    if round_digits is not None:
+        fused = fused.select(
+            "doc_id", F.round("score", round_digits).alias("score")
+        )
+    return fused

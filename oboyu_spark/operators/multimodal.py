@@ -41,12 +41,23 @@ KINDS = ["image", "audio", "video"]
 def synthesize_assets(spark: SparkSession, n: int = 100,
                       seed: int = 42) -> DataFrame:
     """Deterministic opaque binary assets with typed metadata."""
+    # kind is derived from the first sha2 byte (NOT xxhash64) so the
+    # whole synthesis is reproducible in ANSI SQL / DuckDB — the driver
+    # oracle re-derives it cell-exact (plans/oracle_sql.py)
+    kind_idx = F.pmod(
+        F.conv(
+            F.substring(
+                F.sha2(F.concat_ws(":", F.col("id"), F.lit(seed)), 256), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int"),
+        F.lit(len(KINDS)),
+    )
     base = spark.range(n).select(
         F.col("id").alias("asset_id"),
         F.element_at(
-            F.array(*[F.lit(k) for k in KINDS]),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(len(KINDS))) + 1)
-            .cast("int"),
+            F.array(*[F.lit(k) for k in KINDS]), kind_idx + 1
         ).alias("kind"),
         # 64 deterministic bytes: sha2 of (id, seed) twice
         F.unhex(
@@ -80,14 +91,21 @@ def decode_media(data: bytes, kind: str):
 
 
 def _bytes_features(data: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real feature extractor: expand the
-    sha256 of the payload into `dim` floats in [-1, 1)."""
+    """Deterministic stand-in for a real feature extractor: expand
+    sha256 digests of the payload into `dim` floats in [-1, 1).
+
+    The digest input is the lowercase HEX of the payload plus an ASCII
+    ':<counter>' suffix (not the raw bytes) so the exact same values
+    are expressible in DuckDB SQL — sha256() there is VARCHAR-only.
+    Every value is k/128 - 1 for a byte k, exactly representable in
+    float32, so the driver oracle matches bit-for-bit with no rounding.
+    """
     out = np.empty(dim, dtype=np.float32)
-    h = data or b""
+    hx = (data or b"").hex()
     i = 0
     counter = 0
     while i < dim:
-        digest = hashlib.sha256(h + counter.to_bytes(4, "big")).digest()
+        digest = hashlib.sha256(f"{hx}:{counter}".encode()).digest()
         block = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
         take = min(dim - i, block.size)
         out[i : i + take] = block[:take] / 128.0 - 1.0
@@ -125,6 +143,22 @@ def extract_features(assets: DataFrame, dim: int = 64,
             )
 
     return assets.mapInPandas(run, schema=schema)
+
+
+def feature_rows(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Hashable projection of extract_features for driver/oracle
+    comparison: one (asset_id, kind, dim_idx, value) row per feature
+    dimension. value is the exact float32 → double cast (k/128 − 1,
+    no rounding needed — exactly representable in both engines)."""
+    feats = extract_features(assets, dim=dim)
+    return feats.select(
+        "asset_id",
+        "kind",
+        F.posexplode("features").alias("dim_idx", "value"),
+    ).select(
+        "asset_id", "kind", F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("value").cast("double").alias("value"),
+    )
 
 
 def frame_sample_stub(assets: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -399,6 +399,89 @@ ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
 LIMIT {k}"""
 
 
+def hybrid_topk_sql(query: str, query_vec: list[float], k_each: int = 20,
+                    rrf_k: int = 60, limit: int = 10,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """Hybrid (BM25 + vector cosine → RRF) — reference default mode
+    (search_engine.py:87-112). Both branch top-k lists are cut on
+    ROUNDED scores with the (score desc, doc_id asc) tie-break, exactly
+    like the engine's hybrid_search(round_digits=6)."""
+    import math
+
+    qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    qnorm = repr(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
+    return f"""WITH {tf_cte('documents')},
+q AS ({_query_values(query)}),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT coalesce(sum(tf),0) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM documents) AS avgdl),
+text_scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / c.avgdl)))) AS score
+  FROM tf JOIN q USING (term) JOIN vocab USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN c GROUP BY tf.doc_id
+),
+top_a AS (SELECT doc_id, round(score, {ROUND}) AS score FROM text_scored
+          ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {k_each}),
+vec_scored AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], {qlit})
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * {qnorm}) AS cos
+  FROM embeddings
+),
+top_b AS (SELECT doc_id, round(cos, {ROUND}) AS score FROM vec_scored
+          ORDER BY round(cos, {ROUND}) DESC, doc_id ASC LIMIT {k_each}),
+rank_a AS (SELECT doc_id, row_number() OVER
+           (ORDER BY score DESC, doc_id ASC) AS rank_a FROM top_a),
+rank_b AS (SELECT doc_id, row_number() OVER
+           (ORDER BY score DESC, doc_id ASC) AS rank_b FROM top_b),
+fused AS (
+  SELECT doc_id,
+         coalesce(1.0 / ({rrf_k} + rank_a), 0.0)
+         + coalesce(1.0 / ({rrf_k} + rank_b), 0.0) AS score
+  FROM rank_a FULL OUTER JOIN rank_b USING (doc_id)
+)
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM fused ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {limit}"""
+
+
+def multimodal_features_sql(n: int = 100, dim: int = 16,
+                            seed: int = 42) -> str:
+    """Exact twin of multimodal.synthesize_assets → extract_features →
+    feature_rows: the asset payload is unhex(sha256(id ':' seed) ||
+    sha256(id ';' seed)), features expand sha256(hex(payload) || ':0')
+    digest bytes to k/128 − 1. DuckDB's sha256 is VARCHAR-only, so the
+    engine hashes the lowercase-hex payload (see _bytes_features) and
+    this oracle never needs blob hashing. Covers dim ≤ 32 (one digest).
+    """
+    if dim > 32:
+        raise ValueError("oracle covers a single digest (dim <= 32)")
+    return f"""
+WITH ids AS (SELECT range AS asset_id FROM range({n})),
+assets AS (
+  SELECT asset_id,
+         ['image','audio','video'][
+           ((('0x' || substr(sha256(asset_id::VARCHAR || ':{seed}'), 1, 2))
+             ::UBIGINT % 3)::INT) + 1] AS kind,
+         sha256(asset_id::VARCHAR || ':{seed}')
+           || sha256(asset_id::VARCHAR || ';{seed}') AS data_hex
+  FROM ids
+),
+digests AS (
+  SELECT asset_id, kind, sha256(data_hex || ':0') AS dg FROM assets
+),
+dims AS (SELECT range::INT AS dim_idx FROM range({dim}))
+SELECT asset_id, kind, dim_idx,
+       ('0x' || substr(dg, 2 * dim_idx + 1, 2))::UBIGINT::DOUBLE / 128.0
+         - 1.0 AS value
+FROM digests CROSS JOIN dims"""
+
+
 def rrf_fusion_sql(query_a: str, query_b: str, k: int = 20,
                    rrf_k: int = 60, limit: int = 10) -> str:
     return f"""WITH {tf_cte('documents')},

@@ -68,6 +68,38 @@ def test_ngram_jaccard_pairs(spark, docs):
         assert got[k] == pytest.approx(round(exp[k], 6))
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """1000 docs sharing one boilerplate shingle must NOT produce a
+    quadratic pair set — the df cap drops the hot shingle from
+    candidate generation. Pairs that also share a rare shingle still
+    come out with the TRUE Jaccard (hot shingle counted in |A∩B|)."""
+    boiler = "legal notice applies"  # one hot 3-gram in every doc
+    rows = [(i, f"{boiler} unique{i:04d} tail{i:04d} body{i:04d}")
+            for i in range(1000)]
+    # docs 0 and 1 additionally share a rare run → a real near-pair
+    rows[0] = (0, f"{boiler} shared alpha beta gamma ending zero")
+    rows[1] = (1, f"{boiler} shared alpha beta gamma ending one")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                  max_shingle_df=100).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    # only the genuinely-near pair survives; no boilerplate pair storm
+    assert set(got) == {(0, 1)}
+    # and its Jaccard is EXACT over the full sets (hot shingle included)
+    exp = _jaccard(rows[0][1], rows[1][1])
+    assert got[(0, 1)] == pytest.approx(round(exp, 6))
+    # plan-shape guard: candidate join input excludes the hot shingle
+    sh = D.doc_shingles(docs, 3, max_shingle_df=100)
+    hot = " ".join(py_tokenize(boiler))
+    assert sh.filter(F.col("shingle") == hot).count() == 0
+
+
+def test_simhash_bits_guard():
+    with pytest.raises(ValueError):
+        D.simhash(None, bits=64)
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.4)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}

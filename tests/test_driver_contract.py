@@ -41,6 +41,24 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _assert_driver_canonicalizable(name: str, df: pd.DataFrame) -> None:
+    """The driver's canonicalizer sorts and HASHES every cell — an
+    array/map cell (unhashable list/dict) errors the entry, as
+    multimodal_features did in round 1. Mirror that here so the failure
+    is caught before submission, for rows-only entries too."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c].head(100):
+                try:
+                    hash(v)
+                except TypeError as exc:  # same class the driver hit
+                    raise AssertionError(
+                        f"{name}: column {c!r} holds unhashable cells "
+                        f"({type(v).__name__}) — the driver canonicalizer "
+                        f"will error on this entry"
+                    ) from exc
+
+
 def _cells_equal(a, b) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
@@ -83,6 +101,7 @@ def test_query_vs_oracle(spark, ddb, name):
     q = E.queries()[name]
     sql = E.oracle_sql().get(name)
     spark_pdf = q(spark, SF_DIR).toPandas()
+    _assert_driver_canonicalizable(name, spark_pdf)
     if sql is None:
         assert len(spark_pdf) >= 0  # rows-only check
         return
