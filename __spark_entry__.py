@@ -384,6 +384,7 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "multimodal_features": O.multimodal_features_sql(n=100, dim=16),
         "rrf_fusion": O.rrf_fusion_sql(RRF_QA, RRF_QB, k=20, limit=10),
         "hybrid_topk": O.hybrid_topk_sql(BM25_Q1, QVEC, k_each=20, limit=10),
+        "snippets": O.snippets_sql(BM25_Q1, k=10),
         "corpus_stats": """
 SELECT count(*)::BIGINT AS n_rows,
        count(DISTINCT doc_id)::BIGINT AS n_docs,
@@ -393,7 +394,7 @@ FROM documents""",
 SELECT doc_id, source FROM documents
 WHERE regexp_matches(source, '^src.*$')
   AND NOT regexp_matches(source, '^src0$')""",
-        # chunk_documents / minhash_lsh_pairs / lsh_ann_topk /
-        # snippets: intentionally no oracle (python-hash LSH, free-text
-        # bodies) → the driver records the weaker rows-only check.
+        # chunk_documents / minhash_lsh_pairs / lsh_ann_topk:
+        # intentionally no oracle (python-hash LSH, free-text bodies)
+        # → the driver records the weaker rows-only check.
     }

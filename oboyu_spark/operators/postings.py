@@ -4,11 +4,16 @@ Layout (north rule: delta-gap+varbyte postings, per-block max metadata,
 explicit salting, checkpoint-resume with per-partition lineage):
 
     index_dir/
-      staged/bpart=P/*.parquet     frozen (doc_id, doc_int, text) after
-                                   dense-id assignment — the build's
-                                   deterministic input snapshot; resume
-                                   and compaction re-read this, never
-                                   the live source
+      staged/gen=G/pid=P/*.parquet frozen (doc_id, text, rn) — the
+                                   build's deterministic input
+                                   snapshot, written in ONE corpus
+                                   pass (no pre-count); dense global
+                                   ids are doc_int = offsets[pid] + rn
+                                   with per-pid offsets (from the
+                                   frozen files' counts) in
+                                   staged.json; one generation per
+                                   build/append; resume and compaction
+                                   re-read this, never the live source
       postings/bpart=P/*.parquet   one row per (term-hash, salt-chunk),
                                    rows sorted by th1 for row-group
                                    pruning; each part owns its own root
@@ -181,35 +186,33 @@ def _write_manifest(index_dir: str, p: int, row: dict) -> None:
     os.replace(tmp, _manifest_path(index_dir, p))
 
 
-def _tag_strided_ids(df: DataFrame, stride: int, offset: int) -> DataFrame:
-    """doc_int = offset + pid·stride + local row index, computed inside
-    the tagging pass itself — no cross-action offset collection, so ids
-    are deterministic by construction (the alternative, collecting
-    per-partition counts in one action and assigning ids in another, is
-    unsound: the range shuffle can recompute with different boundaries
-    between the two actions; we hit exactly that as index divergence
-    between local[8] and local[32])."""
-    from pyspark.sql.types import LongType, StructField, StructType
+def _tag_local_ids(df: DataFrame) -> DataFrame:
+    """(pid, rn): partition id + local row index, assigned inside the
+    SAME pass that writes staged. Global ids are NOT assigned here —
+    they're derived later as offsets[pid] + rn, where offsets come from
+    per-pid counts of the WRITTEN (frozen) files. This kills the
+    pre-write count() of the source (a full corpus pass at 100 TB just
+    to size id strides) while staying sound: the unsound variant is
+    collecting counts from a *recomputable* shuffle between two
+    actions; counting the immutable staged parquet is not that."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     schema = StructType(
-        list(df.schema.fields) + [StructField("doc_int", LongType(), False)]
+        list(df.schema.fields)
+        + [StructField("pid", IntegerType(), False),
+           StructField("rn", LongType(), False)]
     )
 
     def tag(it):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        base = offset + pid * stride
         seen = 0
         for pdf in it:
             n = len(pdf)
-            if seen + n > stride:
-                raise RuntimeError(
-                    f"id stride overflow: partition {pid} has more than "
-                    f"{stride} rows — raise the stride margin"
-                )
             pdf = pdf.copy()
-            pdf["doc_int"] = range(base + seen, base + seen + n)
+            pdf["pid"] = pid
+            pdf["rn"] = range(seen, seen + n)
             seen += n
             yield pdf
 
@@ -221,56 +224,91 @@ def _stage_docs(
     index_dir: str,
     part_docs: int,
     num_partitions: int,
-    id_offset: int,
-) -> tuple[int, list[int]]:
-    """Range-sort by key, assign strided ids, write partitioned by
-    bpart in ONE corpus pass. Returns (n_docs, bparts written).
-
-    Strided ids are ascending in key order (range partitions are key-
-    ordered, rn sorted within) but leave gaps between partition blocks —
-    harmless: empty id ranges produce no shards, no postings rows, and
-    one slightly larger delta-gap per posting list at block crossings.
-    """
+    base: int,
+    gen: int,
+) -> tuple[int, list[int], dict[int, int]]:
+    """ONE corpus pass: range-sort by key, tag (pid, rn), write
+    partitioned by pid under ``staged/gen=<gen>``. Global ids are DENSE
+    and ascending in key order: doc_int = offsets[pid] + rn with
+    offsets = base + cumulative per-pid counts. The read-back that
+    derives offsets and runs the integrity gate reads ONLY (pid, rn)
+    and doc_id — parquet column pruning keeps the text bytes (the bulk
+    at 100 TB) untouched. Returns (n_docs, parts, offsets)."""
     spark = keyed.sparkSession
-    n_est = keyed.count()
-    if n_est == 0:
-        return 0, []
-    per_pid = -(-n_est // num_partitions)
-    # 4x margin for range-partitioner imbalance. NOT aligned to part
-    # size: parts may straddle id-partition blocks (gaps inside a part
-    # are harmless), which keeps the number of build partitions tied to
-    # part_docs, not to the id parallelism.
-    stride = per_pid * 4
-    tagged = _tag_strided_ids(
+    gdir = f"{index_dir}/staged/gen={gen}"
+    tagged = _tag_local_ids(
         keyed.repartitionByRange(num_partitions, "doc_id")
-        .sortWithinPartitions("doc_id"),
-        stride,
-        id_offset,
+        .sortWithinPartitions("doc_id")
     )
-    staged = tagged.withColumn(
-        "bpart", (F.col("doc_int") / part_docs).cast("long")
-    )
-    staged.write.mode("append").partitionBy("bpart").parquet(
-        f"{index_dir}/staged"
-    )
-    back = spark.read.parquet(f"{index_dir}/staged").filter(
-        F.col("doc_int") >= id_offset
-    )
-    chk = back.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("doc_int").alias("nd"),
-        F.countDistinct("doc_id").alias("nk"),
-    ).collect()[0]
-    n_docs = int(chk["n"])
-    if not (n_docs == int(chk["nd"]) == int(chk["nk"]) == n_est):
+    tagged.write.mode("overwrite").partitionBy("pid").parquet(gdir)
+    back = spark.read.parquet(gdir)
+    per_pid = {
+        int(r["pid"]): (int(r["n"]), int(r["mx"]))
+        for r in back.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx"))
+        .collect()
+    }
+    n_docs = sum(n for n, _ in per_pid.values())
+    if n_docs == 0:
+        return 0, [], {}
+    for pid, (n, mx) in sorted(per_pid.items()):
+        if mx != n - 1:
+            raise RuntimeError(
+                f"staging integrity violation: gen {gen} pid {pid} holds "
+                f"{n} rows but max rn is {mx} (expected {n - 1})"
+            )
+    nk = int(back.agg(F.countDistinct("doc_id")).collect()[0][0])
+    if nk != n_docs:
         raise RuntimeError(
-            f"staging integrity violation: {n_est} input rows, {n_docs} "
-            f"staged, {chk['nd']} distinct ids, {chk['nk']} distinct keys"
+            f"staging integrity violation: {n_docs} staged rows but "
+            f"{nk} distinct keys"
         )
-    parts = sorted(
-        r["bpart"] for r in back.select("bpart").distinct().collect()
+    offsets: dict[int, int] = {}
+    acc = base
+    for pid in sorted(per_pid):
+        offsets[pid] = acc
+        acc += per_pid[pid][0]
+    parts = list(range(base // part_docs, (acc - 1) // part_docs + 1))
+    return n_docs, parts, offsets
+
+
+def _staged_meta(index_dir: str) -> dict:
+    with open(f"{index_dir}/staged.json") as fh:
+        return json.load(fh)
+
+
+def staged_part_df(spark: SparkSession, index_dir: str, p: int,
+                   smeta: dict | None = None) -> DataFrame:
+    """The frozen input slice of build partition ``p``:
+    (doc_id, text, doc_int), doc_int derived from the staged offsets.
+    Generations are part-aligned (every append base is a part
+    boundary), so exactly one generation covers a part; within it only
+    the pids overlapping the part's id range are read (directory-level
+    partition pruning on pid)."""
+    smeta = smeta or _staged_meta(index_dir)
+    part_docs = smeta["shard_size"] * smeta["shards_per_part"]
+    lo, hi = p * part_docs, (p + 1) * part_docs
+    for g in smeta["gens"]:
+        if g["base"] <= lo < g["base"] + g["n"]:
+            break
+    else:
+        raise ValueError(f"part {p} is not covered by any staged generation")
+    offs = sorted((int(k), int(v)) for k, v in g["offsets"].items())
+    sel: list[int] = []
+    sel_offs: dict[int, int] = {}
+    for i, (pid, off) in enumerate(offs):
+        pid_end = offs[i + 1][1] if i + 1 < len(offs) else g["base"] + g["n"]
+        if off < hi and pid_end > lo:
+            sel.append(pid)
+            sel_offs[pid] = off
+    sub = spark.read.parquet(f"{index_dir}/staged/gen={g['gen']}").filter(
+        F.col("pid").isin(sel)
     )
-    return n_docs, [int(p) for p in parts]
+    omap = F.create_map(
+        *[x for pid in sel for x in (F.lit(pid), F.lit(sel_offs[pid]))]
+    )
+    sub = sub.withColumn("doc_int", omap[F.col("pid")] + F.col("rn"))
+    return sub.filter((F.col("doc_int") >= lo) & (F.col("doc_int") < hi))
 
 
 def _stage(
@@ -295,12 +333,18 @@ def _stage(
     keyed = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     num_partitions = id_assign_partitions or spark.sparkContext.defaultParallelism
     part_docs = shard_size * shards_per_part
-    n_docs, parts = _stage_docs(keyed, index_dir, part_docs, num_partitions, 0)
+    n_docs, parts, offsets = _stage_docs(
+        keyed, index_dir, part_docs, num_partitions, 0, 0
+    )
     meta = {
         "n_docs": int(n_docs),
         "parts": parts,
         "shard_size": shard_size,
         "shards_per_part": shards_per_part,
+        "gens": [
+            {"gen": 0, "base": 0, "n": int(n_docs),
+             "offsets": {str(k): int(v) for k, v in offsets.items()}}
+        ],
     }
     tmp = staged_meta_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -331,7 +375,7 @@ def _build_one_part(
     """
     t0 = time.time()
     sh0 = shuffle_bytes(spark)
-    sub = spark.read.parquet(f"{index_dir}/staged").filter(F.col("bpart") == p)
+    sub = staged_part_df(spark, index_dir, p)
 
     from .termindex import with_tokens
 
@@ -340,8 +384,17 @@ def _build_one_part(
     ).withColumn("dl", F.size("tokens"))
     toks = toks.persist()
 
-    # docmap for this part — straight projection, no join, no agg
-    toks.select("doc_id", "doc_int", F.col("dl").cast("long").alias("dl")) \
+    # docmap for this part — straight projection, no join, no agg.
+    # fp = whitespace-normalized content hash, the change-detection key
+    # (reference change_detector.py:64-105 uses file hashes; here the
+    # doc IS the unit) — sync_docs diffs against it without ever
+    # re-reading staged text.
+    from ..functions.text import collapse_whitespace
+
+    toks.select(
+        "doc_id", "doc_int", F.col("dl").cast("long").alias("dl"),
+        F.md5(collapse_whitespace(F.col("text"))).alias("fp"),
+    ) \
         .repartitionByRange(4, "doc_int").sortWithinPartitions("doc_int") \
         .write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
 
@@ -482,7 +535,9 @@ def finalize_index(
     if os.path.isdir(f"{index_dir}/docmap"):
         docmap = spark.read.parquet(f"{index_dir}/docmap")
     else:
-        docmap = spark.createDataFrame([], "doc_id string, doc_int long, dl long")
+        docmap = spark.createDataFrame(
+            [], "doc_id string, doc_int long, dl long, fp string"
+        )
     tomb = load_tombstones(index_dir)
     if tomb:
         docmap = docmap.filter(~F.col("doc_int").isin([int(x) for x in tomb]))
@@ -640,22 +695,27 @@ def append_docs(
     start at the next part boundary so no existing part is rewritten.
     """
     spark = new_docs.sparkSession
-    with open(f"{index_dir}/staged.json") as fh:
-        smeta = json.load(fh)
+    smeta = _staged_meta(index_dir)
     meta = load_meta(index_dir)
     shard_size = smeta["shard_size"]
     spp = smeta["shards_per_part"]
     part_docs = shard_size * spp
     start_part = (max(smeta["parts"]) + 1) if smeta["parts"] else 0
     start_id = start_part * part_docs
+    gen = len(smeta["gens"])
 
     keyed = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    n_new, new_parts = _stage_docs(
+    n_new, new_parts, offsets = _stage_docs(
         keyed, index_dir, part_docs,
-        spark.sparkContext.defaultParallelism, start_id,
+        spark.sparkContext.defaultParallelism, start_id, gen,
     )
+    if n_new:
+        smeta["gens"].append(
+            {"gen": gen, "base": start_id, "n": int(n_new),
+             "offsets": {str(k): int(v) for k, v in offsets.items()}}
+        )
     smeta["n_docs"] = smeta["n_docs"] + int(n_new)
     smeta["parts"] = sorted(set(smeta["parts"]) | set(new_parts))
     tmp = f"{index_dir}/staged.json.tmp"
@@ -674,6 +734,98 @@ def append_docs(
         spark, index_dir, meta["k1"], meta["b"], meta["min_token_length"],
         shard_size, meta["salt_chunk"],
     )
+
+
+def sync_docs(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_missing: bool = True,
+    compact: bool = False,
+) -> dict:
+    """Automatic change detection + incremental sync — the reference's
+    change_detector.py:64-105 ("hash" strategy) as ONE operator:
+
+    diff incoming (doc_id, content-hash) against the docmap's stored
+    fp column (full-outer join, one shuffle, no text re-read) →
+    - NEW keys            → append
+    - MODIFIED (fp diff)  → tombstone the old doc_int + append anew
+    - DELETED (absent)    → tombstone (``delete_missing=False`` keeps
+      them — the "incoming is a partial feed" mode)
+
+    Only the CHANGED key set is collected (churn-bounded, not corpus-
+    bounded). Stats (N/avgdl/df) follow the delete_docs contract:
+    tombstoned docs vanish from results immediately, exact df/avgdl
+    return at ``compact=True`` (or a later compact_index call).
+    Returns {"new": n, "modified": n, "deleted": n, "meta": meta}.
+    """
+    spark = docs.sparkSession
+    incoming = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    from ..functions.text import collapse_whitespace
+
+    inc = incoming.select(
+        "doc_id", F.md5(collapse_whitespace(F.col("text"))).alias("fp_new")
+    )
+    docmap = spark.read.parquet(f"{index_dir}/docmap")
+    if "fp" not in docmap.columns:
+        raise ValueError(
+            "docmap has no fp column — index predates change detection; "
+            "rebuild or append-only"
+        )
+    tomb = load_tombstones(index_dir)
+    if tomb:
+        docmap = docmap.filter(
+            ~F.col("doc_int").isin([int(x) for x in tomb])
+        )
+    existing = docmap.select("doc_id", F.col("fp").alias("fp_old"))
+    diff = inc.join(existing, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), "new")
+        .when(F.col("fp_new").isNull(), "deleted")
+        .when(F.col("fp_new") != F.col("fp_old"), "modified")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    changed = diff.filter(F.col("change") != "unchanged").collect()
+    new_keys = [r["doc_id"] for r in changed if r["change"] == "new"]
+    mod_keys = [r["doc_id"] for r in changed if r["change"] == "modified"]
+    del_keys = [r["doc_id"] for r in changed if r["change"] == "deleted"]
+    if not delete_missing:
+        del_keys = []
+
+    if mod_keys or del_keys:
+        delete_docs(spark, index_dir, mod_keys + del_keys)
+    meta = None
+    if new_keys or mod_keys:
+        to_add = incoming.join(
+            spark.createDataFrame(
+                [(k,) for k in new_keys + mod_keys], "doc_id string"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        meta = append_docs(to_add, index_dir)
+    if compact:
+        meta = compact_index(spark, index_dir)
+    if meta is None:
+        meta = (
+            finalize_index(
+                spark, index_dir,
+                (m := load_meta(index_dir))["k1"], m["b"],
+                m["min_token_length"], m["shard_size"], m["salt_chunk"],
+            )
+            if del_keys
+            else load_meta(index_dir)
+        )
+    return {
+        "new": len(new_keys),
+        "modified": len(mod_keys),
+        "deleted": len(del_keys),
+        "meta": meta,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -714,39 +866,48 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: list) -> dict:
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
-    """Rewrite every bpart containing tombstoned docs: stage stays, the
-    deleted rows are dropped from staged's view, postings/vocab/docmap
-    for those parts are rebuilt, tombstones cleared, index re-finalized.
-    Equivalent to the reference's remove_from_index + stats removal
-    (I4/I5), done partition-locally."""
+    """Rewrite the staged slices containing tombstoned docs: survivors
+    keep their (pid, rn) — and therefore their doc_int — untouched;
+    postings/vocab/docmap for the affected parts are rebuilt,
+    tombstones cleared, index re-finalized. Equivalent to the
+    reference's remove_from_index + stats removal (I4/I5), done
+    partition-locally."""
+    import bisect
+    import shutil
+
     tomb = load_tombstones(index_dir)
     meta = load_meta(index_dir)
     if not tomb:
         return meta
-    with open(f"{index_dir}/staged.json") as fh:
-        smeta = json.load(fh)
+    smeta = _staged_meta(index_dir)
     part_docs = smeta["shard_size"] * smeta["shards_per_part"]
     affected = sorted({int(d) // part_docs for d in tomb})
-    tomb_list = [int(x) for x in tomb]
 
-    for p in affected:
-        # rewrite staged bpart without tombstoned docs
-        sub = spark.read.parquet(f"{index_dir}/staged").filter(
-            (F.col("bpart") == p) & (~F.col("doc_int").isin(tomb_list))
-        )
-        sub.drop("bpart").write.mode("overwrite").parquet(
-            f"{index_dir}/staged_tmp/bpart={p}"
-        )
-    for p in affected:
-        import shutil
+    # map each tombstoned doc_int to its (gen, pid, rn)
+    removals: dict[tuple[int, int], list[int]] = {}
+    for g in smeta["gens"]:
+        offs = sorted((int(v), int(k)) for k, v in g["offsets"].items())
+        if not offs:
+            continue
+        starts = [v for v, _ in offs]
+        for d in sorted(int(x) for x in tomb):
+            if g["base"] <= d < g["base"] + g["n"]:
+                i = bisect.bisect_right(starts, d) - 1
+                off, pid = offs[i]
+                removals.setdefault((int(g["gen"]), pid), []).append(d - off)
 
-        dst = f"{index_dir}/staged/bpart={p}"
-        shutil.rmtree(dst, ignore_errors=True)
-        os.rename(f"{index_dir}/staged_tmp/bpart={p}", dst)
-        _write_manifest(index_dir, p, {"bpart": p, "status": "stale"})
-    import shutil
-
+    for (gen, pid), rns in removals.items():
+        src = f"{index_dir}/staged/gen={gen}/pid={pid}"
+        tmp = f"{index_dir}/staged_tmp/gen={gen}/pid={pid}"
+        spark.read.parquet(src).filter(~F.col("rn").isin(rns)) \
+            .write.mode("overwrite").parquet(tmp)
+    for (gen, pid) in removals:
+        src = f"{index_dir}/staged/gen={gen}/pid={pid}"
+        shutil.rmtree(src, ignore_errors=True)
+        os.rename(f"{index_dir}/staged_tmp/gen={gen}/pid={pid}", src)
     shutil.rmtree(f"{index_dir}/staged_tmp", ignore_errors=True)
+    for p in affected:
+        _write_manifest(index_dir, p, {"bpart": p, "status": "stale"})
     os.remove(f"{index_dir}/tombstones/doc_ints.json")
 
     # rebuild stale parts

@@ -331,18 +331,22 @@ def _search(
 
     local = postings.groupBy("shard").applyInPandas(fn, schema=RESULT_SCHEMA)
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_int").asc()
-    )
+    # The engine-wide tie-break is (score desc, ORIGINAL doc_id asc).
+    # doc_int order equals doc_id order only for the initial build —
+    # append_docs hands out strictly higher doc_int ranges regardless
+    # of key order — so the pre-hydration cut keeps ALL score-ties at
+    # the k boundary (rank, not row_number) and the final cut happens
+    # on the hydrated original keys.
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
     top = (
-        local.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+        local.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
     )
-    # gather the ≤ queries×k winners to the driver, then hydrate keys
-    # from the docmap with an id-pushed filter — the docmap is sorted
-    # by doc_int, so parquet min/max stats prune to the few row groups
-    # containing winners instead of scanning all 10^12 docmap rows
+    # gather the ≤ queries×k(+ties) winners to the driver, then hydrate
+    # keys from the docmap with an id-pushed filter — the docmap is
+    # sorted by doc_int, so parquet min/max stats prune to the few row
+    # groups containing winners instead of scanning all 10^12 rows
     top_rows = top.collect()
     if not top_rows:
         return empty
@@ -357,8 +361,14 @@ def _search(
         .filter(F.col("doc_int").isin(ids))
         .select("doc_int", "doc_id")
     )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return (
         docmap.join(F.broadcast(tiny), "doc_int")
         .select("query_id", "doc_id", "score")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
         .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
     )

@@ -64,7 +64,10 @@ def py_snippet(
                 start = sp + 1
         snippet = text[start : start + length]
     if highlight:
-        for t in sorted(set(terms), key=len, reverse=True):
+        # (-len, term) not plain len: set iteration order is process-
+        # dependent, and equal-length ties must replace in a fixed
+        # order for cross-engine (oracle) reproducibility
+        for t in sorted(set(terms), key=lambda s: (-len(s), s)):
             snippet = re.sub(
                 re.escape(t), lambda m: f"**{m.group(0)}**", snippet,
                 flags=re.IGNORECASE,

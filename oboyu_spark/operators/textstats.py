@@ -49,9 +49,16 @@ def token_count(col: Column, min_token_length: int = 2) -> Column:
 
 
 def word_count(col: Column) -> Column:
-    """Whitespace word count (BPE-ish upper bound is chars/4 for EN)."""
+    """Whitespace word count (BPE-ish upper bound is chars/4 for EN).
+
+    Split class comes from functions.text._WS_CLASS_JAVA so it stays in
+    lockstep with the DuckDB oracle's WS_RE2 (incl. NBSP \\u00a0 and
+    ideographic space \\u3000 — a hand-written class omitting NBSP made
+    n_words diverge on NBSP documents)."""
+    from ..functions.text import _WS_CLASS_JAVA
+
     return F.size(
-        F.filter(F.split(col, "[\\s　]+"), lambda w: F.length(w) > 0)
+        F.filter(F.split(col, _WS_CLASS_JAVA + "+"), lambda w: F.length(w) > 0)
     )
 
 

@@ -399,6 +399,70 @@ ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
 LIMIT {k}"""
 
 
+def snippets_sql(query: str, k: int = 10, length: int = 160) -> str:
+    """Exact twin of operators/snippets.py_snippet over the hydrated
+    BM25 top-k: 0-based term-occurrence positions (per-character scan,
+    one row per (term, position) like the python find loop), densest
+    window = earliest anchor with max occurrences in [p, p+length)
+    (provably equals the two-pointer's pick), start = anchor − 20
+    snapped to the last space in [start−20, start), then sequential
+    case-insensitive highlight in (−len, term) order."""
+    terms = sorted(set(py_tokenize(query)), key=lambda s: (-len(s), s))
+    if not terms:
+        raise ValueError("snippets oracle needs a tokenizable query")
+    pos_union = "\n    UNION ALL\n".join(
+        f"""SELECT doc_id, i - 1 AS p
+    FROM hyd, UNNEST(generate_series(1, greatest(length(text), 1))) AS u(i)
+    WHERE substr(lower(text), i, {len(t)}) = '{t}'"""
+        for t in terms
+    )
+    highlighted = "raw"
+    for t in terms:
+        highlighted = (
+            f"regexp_replace({highlighted}, '(?i)({t})', '**\\1**', 'g')"
+        )
+    return f"""WITH top AS ({bm25_topk_sql(query, k=k)}),
+hyd AS (SELECT d.doc_id, top.score, d.text
+        FROM documents d JOIN top ON d.doc_id = top.doc_id),
+pos AS (
+    {pos_union}
+),
+anch AS (
+  SELECT a.doc_id, a.p AS start_p,
+         (SELECT count(*) FROM pos b WHERE b.doc_id = a.doc_id
+            AND b.p >= a.p AND b.p < a.p + {length}) AS cnt
+  FROM pos a
+),
+best AS (
+  SELECT doc_id, start_p FROM (
+    SELECT doc_id, start_p, row_number() OVER
+      (PARTITION BY doc_id ORDER BY cnt DESC, start_p ASC) AS rn
+    FROM anch) t WHERE rn = 1
+),
+st0 AS (
+  SELECT h.doc_id, h.score, h.text,
+         b.start_p IS NOT NULL AS has_match,
+         CASE WHEN b.start_p IS NULL THEN 0
+              ELSE greatest(b.start_p - 20, 0) END AS s0
+  FROM hyd h LEFT JOIN best b ON h.doc_id = b.doc_id
+),
+snap AS (
+  SELECT doc_id, score, text,
+    CASE WHEN NOT has_match OR s0 = 0 THEN s0
+         WHEN strpos(reverse(substr(text, greatest(s0 - 20, 0) + 1,
+                                    s0 - greatest(s0 - 20, 0))), ' ') > 0
+           THEN s0 - strpos(reverse(substr(text, greatest(s0 - 20, 0) + 1,
+                                           s0 - greatest(s0 - 20, 0))), ' ') + 1
+         ELSE s0 END AS snip_start
+  FROM st0
+),
+snips AS (
+  SELECT doc_id, score, substr(text, snip_start + 1, {length}) AS raw
+  FROM snap
+)
+SELECT doc_id, score, {highlighted} AS snippet FROM snips"""
+
+
 def hybrid_topk_sql(query: str, query_vec: list[float], k_each: int = 20,
                     rrf_k: int = 60, limit: int = 10,
                     k1: float = 1.2, b: float = 0.75) -> str:

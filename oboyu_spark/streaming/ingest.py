@@ -10,11 +10,18 @@ incremental index builder:
       → foreachBatch: append_docs(batch, index_dir)
 
 Each micro-batch claims fresh id ranges / build partitions (see
-operators/postings.append_docs), so existing shards stay immutable and
-a crash mid-batch is recovered by the streaming checkpoint re-running
-the batch (append_docs re-stages idempotently only if the batch's
-parts were not finalized — the staged integrity check raises on a
-partial duplicate, surfacing the conflict instead of corrupting).
+operators/postings.append_docs), so existing shards stay immutable.
+Replay safety has TWO layers:
+
+- crash DURING a batch: the staged integrity check raises on a
+  partial duplicate re-stage, surfacing the conflict instead of
+  corrupting;
+- crash BETWEEN a completed append and the streaming checkpoint
+  commit: the replayed batch would silently re-append under fresh id
+  ranges, so ``handle_batch`` records finalized batch ids in a small
+  manifest (``stream_batches.json``) inside the index dir and skips a
+  batch id it has already finalized (the foreachBatch exactly-once
+  recipe from the Structured Streaming guide).
 
 Batch mode stays the primary path (the north rule is batch); this is
 the operational "keep the index fresh" add-on.
@@ -22,9 +29,44 @@ the operational "keep the index fresh" add-on.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import SparkSession
 
 from ..sources.transcripts import turns_as_docs
+
+
+def _done_batches(index_dir: str) -> set[int]:
+    try:
+        with open(f"{index_dir}/stream_batches.json") as fh:
+            return set(json.load(fh))
+    except (FileNotFoundError, json.JSONDecodeError):
+        return set()
+
+
+def _mark_batch_done(index_dir: str, batch_id: int) -> None:
+    done = _done_batches(index_dir) | {int(batch_id)}
+    tmp = f"{index_dir}/stream_batches.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(done), fh)
+    os.replace(tmp, f"{index_dir}/stream_batches.json")
+
+
+def handle_batch_factory(index_dir: str):
+    """foreachBatch handler: append the micro-batch unless its batch id
+    is already finalized in the batch manifest (replay no-op)."""
+    from ..operators.postings import append_docs
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if int(batch_id) in _done_batches(index_dir):
+            return  # replay of a fully-finalized batch — idempotent skip
+        append_docs(batch_df, index_dir)
+        _mark_batch_done(index_dir, batch_id)
+
+    return handle_batch
 
 
 def stream_transcripts_into_index(
@@ -40,20 +82,13 @@ def stream_transcripts_into_index(
 ):
     """Start (and by default run-once) the ingest stream. Returns the
     StreamingQuery."""
-    from ..operators.postings import append_docs
-
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)
     )
     docs = turns_as_docs(stream).select("doc_id", "text")
 
-    def handle_batch(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        append_docs(batch_df, index_dir)
-
     writer = (
-        docs.writeStream.foreachBatch(handle_batch)
+        docs.writeStream.foreachBatch(handle_batch_factory(index_dir))
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

@@ -176,3 +176,69 @@ def test_delete_then_compact(spark, tmp_path):
         assert [x[0] for x in got.get(qid, [])] == [x[0] for x in exp], q
         for (_, gs), (_, es) in zip(got.get(qid, []), exp):
             assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
+
+
+def test_append_tiebreak_on_original_key(spark, tmp_path):
+    """Appended docs get HIGHER doc_ints even when their keys sort
+    before existing ones; exact score-ties at the k boundary must still
+    resolve by ORIGINAL doc_id asc (the engine-wide contract), not by
+    doc_int age."""
+    d = str(tmp_path / "idx")
+    text = "zztie spark index engine"
+    base = spark.createDataFrame(
+        [(f"b{i}", text) for i in range(8)], "doc_id string, text string"
+    )
+    build_index(base, d, **KW)
+    extra = spark.createDataFrame(
+        [(f"a{i}", text) for i in range(4)], "doc_id string, text string"
+    )
+    append_docs(extra, d)
+    for scorer in ("taat", "bmw"):
+        rows = search_index(spark, d, "zztie", k=5, scorer=scorer).collect()
+        got = [r["doc_id"] for r in rows]
+        # all 12 docs tie exactly; doc_id asc wins: a0..a3 then b0
+        assert got == ["a0", "a1", "a2", "a3", "b0"], (scorer, got)
+
+
+def test_sync_docs_change_detection(spark, tmp_path):
+    """sync_docs = the reference change-detector in one call: hash-diff
+    against the docmap fp column → new/modified/deleted classified,
+    tombstone + append + compact — final scores equal a fresh build
+    over the updated corpus (so a modified doc's score CHANGES and N
+    stays exact)."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.postings import sync_docs
+
+    docs = _corpus(spark, n_convs=30)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, **KW)
+
+    rows = docs.collect()
+    mod_keys = {rows[0]["doc_id"], rows[1]["doc_id"]}
+    del_keys = {rows[2]["doc_id"]}
+    updated = [
+        (r["doc_id"],
+         r["text"] + " updated revision text" if r["doc_id"] in mod_keys
+         else r["text"])
+        for r in rows if r["doc_id"] not in del_keys
+    ] + [("brand#new1", "completely new spark index document")]
+    incoming = spark.createDataFrame(updated, "doc_id string, text string")
+
+    out = sync_docs(incoming, d, compact=True)
+    assert out["new"] == 1 and out["modified"] == 2 and out["deleted"] == 1
+    assert out["meta"]["n_docs"] == len(updated)
+
+    oracle = PyBM25()
+    oracle.index(updated)
+    got = _results(spark, d, k=10)
+    for qid, q in enumerate(QUERIES):
+        exp = oracle.search(q, k=10)
+        assert [x[0] for x in got.get(qid, [])] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(got.get(qid, []), exp):
+            assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
+
+    # idempotence: syncing the same corpus again is a no-op
+    out2 = sync_docs(incoming, d)
+    assert (out2["new"], out2["modified"], out2["deleted"]) == (0, 0, 0)
+    assert out2["meta"]["n_docs"] == len(updated)

@@ -53,3 +53,35 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         assert [r["doc_id"] for r in got] == [d for d, _ in exp], query
         for r, (_, s) in zip(got, exp):
             assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_replay_of_finalized_batch_is_skipped(spark, tmp_path):
+    """Crash between a completed append and the checkpoint commit
+    replays the batch; the batch manifest must make the replay a no-op
+    instead of silently double-indexing."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.streaming.ingest import _done_batches, handle_batch_factory
+
+    idx = str(tmp_path / "idx")
+    base = synthesize_transcripts(spark, n_convs=10, max_turns=4, seed=3)
+    base_docs = turns_as_docs(base).select("doc_id", "text")
+    build_index(base_docs, idx, shard_size=50, salt_chunk=60,
+                shards_per_part=2, id_assign_partitions=4)
+    n0 = load_meta(idx)["n_docs"]
+
+    extra = turns_as_docs(
+        synthesize_transcripts(spark, n_convs=5, max_turns=4, seed=9).select(
+            F.concat(F.lit("y"), "conv_id").alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    ).select("doc_id", "text")
+    n_extra = extra.count()
+
+    handler = handle_batch_factory(idx)
+    handler(extra, 0)
+    assert load_meta(idx)["n_docs"] == n0 + n_extra
+    assert _done_batches(idx) == {0}
+    # simulated checkpoint replay of the SAME finalized batch id
+    handler(extra, 0)
+    assert load_meta(idx)["n_docs"] == n0 + n_extra  # not double-indexed

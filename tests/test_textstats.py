@@ -37,3 +37,14 @@ def test_text_profile(spark):
     )
     fp2 = text_profile(docs2).collect()[0]["fingerprint"]
     assert fp2 == prof[1]["fingerprint"]
+
+
+def test_word_count_nbsp_matches_oracle_class(spark):
+    """NBSP (\\u00a0) and ideographic space (\\u3000) are word
+    separators on BOTH sides (engine class comes from _WS_CLASS_JAVA;
+    oracle WS_RE2 includes them) — a latent driver hash mismatch if
+    they ever diverge."""
+    docs = spark.createDataFrame(
+        [(1, "one two　three four")], "doc_id long, text string"
+    )
+    assert text_profile(docs).collect()[0]["n_words"] == 4
