@@ -243,6 +243,44 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only entries (non-SQL-expressible: python-hash LSH, chunk text,
 # Arrow feature extraction)
 
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded (pigeonhole) candidates + exact hamming verify — must equal
+    # the oracle's exhaustive O(n²) pair scan exactly
+    from oboyu_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3)
+
+
+def _q_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H2: min-max-normalized weighted fusion; cut on ROUNDED scores so
+    # the boundary matches the oracle bit-for-bit
+    from oboyu_spark.operators.fusion import normalize_scores, weighted_fuse
+
+    docs = _docs(spark, sf_dir)
+    a = B.bm25_search(docs, RRF_QA, k=20, round_digits=ROUND)
+    b = B.bm25_search(docs, RRF_QB, k=20, round_digits=ROUND)
+    fused = weighted_fuse(
+        normalize_scores(a), normalize_scores(b), 0.7, 0.3, limit=1000
+    )
+    return (
+        fused.select("doc_id", F.round("score", ROUND).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: LSH-bucketed candidates + exact cosine
+    # verify (python-hash planes → rows-only check)
+    from oboyu_spark.operators.similarity import lsh_near_pairs
+
+    # threshold tuned to the synthetic embeddings (max pairwise cosine
+    # ≈ 0.51 at sf0.01 — near-random vectors), so the entry exercises
+    # both the bucket join and the exact verify with non-empty output
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_near_pairs(emb, threshold=0.3, bits=6, n_tables=8)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.chunker import chunk_documents
 
@@ -338,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "simhash": _q_simhash,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "weighted_fusion": _q_weighted_fusion,
+        "embedding_near_pairs": _q_embedding_near_pairs,
         "cosine_topk": _q_cosine_topk,
         "rrf_fusion": _q_rrf_fusion,
         "hybrid_topk": _q_hybrid_topk,
@@ -380,6 +421,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),
         "minhash_signatures": O.minhash_signatures_sql(num_perm=4),
         "simhash": O.simhash_sql(bits=32),
+        "simhash_near_pairs": O.simhash_near_pairs_sql(bits=32, max_hamming=3),
+        "weighted_fusion": O.weighted_fusion_sql(RRF_QA, RRF_QB, k=20,
+                                                 limit=10),
         "cosine_topk": O.cosine_topk_sql(QVEC, k=20),
         "multimodal_features": O.multimodal_features_sql(n=100, dim=16),
         "rrf_fusion": O.rrf_fusion_sql(RRF_QA, RRF_QB, k=20, limit=10),

@@ -236,33 +236,49 @@ def _stage_docs(
     at 100 TB) untouched. Returns (n_docs, parts, offsets)."""
     spark = keyed.sparkSession
     gdir = f"{index_dir}/staged/gen={gen}"
-    tagged = _tag_local_ids(
-        keyed.repartitionByRange(num_partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
-    )
-    tagged.write.mode("overwrite").partitionBy("pid").parquet(gdir)
+    # the range-sort's boundary sample would otherwise materialize the
+    # source pipeline a second time (at 100 TB the source is often a
+    # transform, not a bare scan); MEMORY_AND_DISK never recomputes —
+    # worst case it spills the corpus to local disk once, which is
+    # cheaper than re-running the source pipeline
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tagged = _tag_local_ids(
+            keyed.repartitionByRange(num_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        tagged.write.mode("overwrite").partitionBy("pid").parquet(gdir)
+    finally:
+        keyed.unpersist()
     back = spark.read.parquet(gdir)
+    # one integrity/offsets job: range partitioning puts EQUAL keys in
+    # the same pid, so global key-distinctness == Σ per-pid distincts
     per_pid = {
-        int(r["pid"]): (int(r["n"]), int(r["mx"]))
+        int(r["pid"]): (int(r["n"]), int(r["mx"]), int(r["nk"]))
         for r in back.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("rn").alias("mx"),
+            F.countDistinct("doc_id").alias("nk"),
+        )
         .collect()
     }
-    n_docs = sum(n for n, _ in per_pid.values())
+    n_docs = sum(n for n, _, _ in per_pid.values())
     if n_docs == 0:
         return 0, [], {}
-    for pid, (n, mx) in sorted(per_pid.items()):
+    for pid, (n, mx, nk) in sorted(per_pid.items()):
         if mx != n - 1:
             raise RuntimeError(
                 f"staging integrity violation: gen {gen} pid {pid} holds "
                 f"{n} rows but max rn is {mx} (expected {n - 1})"
             )
-    nk = int(back.agg(F.countDistinct("doc_id")).collect()[0][0])
-    if nk != n_docs:
-        raise RuntimeError(
-            f"staging integrity violation: {n_docs} staged rows but "
-            f"{nk} distinct keys"
-        )
+        if nk != n:
+            raise RuntimeError(
+                f"staging integrity violation: gen {gen} pid {pid} holds "
+                f"{n} rows but {nk} distinct keys"
+            )
     offsets: dict[int, int] = {}
     acc = base
     for pid in sorted(per_pid):

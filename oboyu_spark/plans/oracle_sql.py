@@ -380,6 +380,71 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def simhash_near_pairs_sql(bits: int = 32, max_hamming: int = 3,
+                           source: str = "documents") -> str:
+    """Exhaustive O(n²) hamming pairs — the oracle for the engine's
+    banded (pigeonhole) candidate generation, which is guaranteed to
+    find EVERY pair with hamming ≤ max_hamming, so the sets match
+    exactly."""
+    return f"""WITH sh AS ({simhash_sql(bits, source)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def weighted_fusion_sql(query_a: str, query_b: str, k: int = 20,
+                        weight_a: float = 0.7, weight_b: float = 0.3,
+                        limit: int = 10) -> str:
+    """H2 weighted fusion of min-max-normalized top-k lists
+    (hybrid_search.py:14-60 + score_normalizer.py:65-155): weights
+    normalized to sum 1, missing side contributes 0."""
+    total = weight_a + weight_b
+    wa, wb = weight_a / total, weight_b / total
+    return f"""WITH {tf_cte('documents')},
+qa AS ({_query_values(query_a)}),
+qb AS ({_query_values(query_b)}),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT coalesce(sum(tf),0) FROM tf)::DOUBLE
+             / (SELECT count(*) FROM documents) AS avgdl),
+score_a AS (
+  SELECT tf.doc_id,
+         sum(qa.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / c.avgdl)))) AS score
+  FROM tf JOIN qa USING (term) JOIN vocab USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN c GROUP BY tf.doc_id
+),
+score_b AS (
+  SELECT tf.doc_id,
+         sum(qb.qtf * ln((c.n - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / c.avgdl)))) AS score
+  FROM tf JOIN qb USING (term) JOIN vocab USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN c GROUP BY tf.doc_id
+),
+top_a AS (SELECT doc_id, round(score, {ROUND}) AS score FROM score_a
+          ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {k}),
+top_b AS (SELECT doc_id, round(score, {ROUND}) AS score FROM score_b
+          ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {k}),
+norm_a AS (
+  SELECT doc_id, CASE WHEN mx = mn THEN score
+    ELSE least(1.0, greatest(0.0, (score - mn) / (mx - mn))) END AS s
+  FROM top_a, (SELECT min(score) AS mn, max(score) AS mx FROM top_a)
+),
+norm_b AS (
+  SELECT doc_id, CASE WHEN mx = mn THEN score
+    ELSE least(1.0, greatest(0.0, (score - mn) / (mx - mn))) END AS s
+  FROM top_b, (SELECT min(score) AS mn, max(score) AS mx FROM top_b)
+),
+fused AS (
+  SELECT doc_id, coalesce({wa!r} * a.s, 0.0) + coalesce({wb!r} * b.s, 0.0) AS score
+  FROM norm_a a FULL OUTER JOIN norm_b b USING (doc_id)
+)
+SELECT doc_id, round(score, {ROUND}) AS score
+FROM fused ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {limit}"""
+
+
 def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
     import math
 

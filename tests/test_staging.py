@@ -1,14 +1,14 @@
-"""Staging contract: the source corpus is materialized at most twice —
-the range-partitioner's boundary sample plus the staging write itself.
+"""Staging contract: the source corpus is materialized exactly once.
 
-The round-1 build added a THIRD pass (a pre-write count() to size id
-strides). The redesign derives dense ids from per-pid offsets of the
-WRITTEN files, so that pass is gone; the boundary sample that remains
-is intrinsic to any distributed key-sort (every engine's shuffle sort
-samples), and the integrity read-back touches only (pid, rn, doc_id)
-columns of staged parquet — never the source and never the text bytes.
-An accumulator inside a mapInPandas wrapper counts how many times
-source rows are actually materialized."""
+The round-1 build made three source passes (pre-write count() to size
+id strides, the range-sort boundary sample, the staging write). The
+redesign (a) derives dense ids from per-pid offsets of the WRITTEN
+files — no pre-count — and (b) persists the keyed source
+MEMORY_AND_DISK across the sample + write so the sort's boundary
+sample doesn't re-run the source pipeline. The integrity read-back
+touches only (pid, rn, doc_id) columns of staged parquet — never the
+source and never the text bytes. An accumulator inside a mapInPandas
+wrapper counts how many times source rows are actually materialized."""
 
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ from oboyu_spark.operators.searchidx import search_index
 from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
 
 
-def test_build_materializes_source_at_most_twice(spark, tmp_path):
+def test_build_materializes_source_exactly_once(spark, tmp_path):
     raw = turns_as_docs(
         synthesize_transcripts(spark, n_convs=40, max_turns=6, seed=13)
     ).select("doc_id", "text")
@@ -36,12 +36,14 @@ def test_build_materializes_source_at_most_twice(spark, tmp_path):
     meta = build_index(docs, d, shard_size=50, salt_chunk=60,
                        shards_per_part=2, id_assign_partitions=4)
     assert meta["n_docs"] == n
-    # ≤ 2 passes over the source pipeline: the range-sort boundary
-    # sample + the staging write. The round-1 pre-count would make this
-    # 3n. Every later stage (integrity read-back, part builds,
-    # finalize) reads staged parquet, not the source.
-    assert acc.value <= 2 * n, (
-        f"source materialized {acc.value / n:.1f}x (expected <= 2x)"
+    # EXACTLY one pass over the source pipeline: the staging persist
+    # (MEMORY_AND_DISK — never recomputes) feeds both the range-sort
+    # boundary sample and the staging write from one materialization;
+    # the round-1 pre-count + uncached sample made this 3n. Every later
+    # stage (integrity read-back, part builds, finalize) reads staged
+    # parquet, not the source.
+    assert acc.value == n, (
+        f"source materialized {acc.value / n:.1f}x (expected exactly 1x)"
     )
 
 
