@@ -13,8 +13,10 @@ Plan shape per batch of queries:
    ids are contiguous (range sharding), so the accumulator is a flat
    float64 array and each posting costs one vectorized add. Each shard
    emits its local top-k with the global tie-break.
-3. gather: global top-k per query (window over ≤ shards×k rows), then
-   restore original doc keys via the docmap.
+3. gather: global candidates per query (rank window over ≤ shards×k
+   rows, boundary score-ties kept), hydrate original doc keys via the
+   docmap, final top-k cut tie-broken on the ORIGINAL doc_id (doc_int
+   order only matches key order within a shard, not across appends).
 
 Exactness: TAAT scores every matched posting — results match the
 relational plan bit-for-bit up to float summation order (tests compare

@@ -67,3 +67,38 @@ def test_with_snippets(spark):
             for r in with_snippets(df, ["quick", "fox"]).collect()}
     assert "**quick**" in rows[1] and "**fox**" in rows[1]
     assert rows[2] == "no match here"
+
+
+def test_py_snippet_sentence_strategy():
+    # EN: cut at the last ". " boundary inside the window
+    text = ("The spark engine indexes documents. It scores them well. "
+            "Trailing fragment without an end")
+    s = py_snippet(text, ["spark"], length=80, highlight=False,
+                   strategy="sentence")
+    assert s.endswith("scores them well.")
+    # JP: 。！？ endings take precedence when the window holds JP chars
+    jtext = "検索の話です。索引を作ります！未完の断片"
+    j = py_snippet(jtext, ["検索"], length=30, highlight=False,
+                   strategy="sentence")
+    assert j.endswith("！") and "未完" not in j
+    # fallback: adjusted shorter than 50% of target → keep fixed window
+    frag = "spark " + "a" * 100 + ". " + "b" * 200
+    f = py_snippet(frag, ["spark"], length=40, highlight=False,
+                   strategy="sentence")
+    assert len(f) > 20  # did not collapse to a tiny sentence cut
+
+
+def test_py_snippet_paragraph_strategy():
+    text = ("First paragraph mentions spark and keeps going with plenty "
+            "of words so the cut survives the 30% floor.\n\n"
+            "Second paragraph continues. More filler text")
+    s = py_snippet(text, ["spark"], length=120, highlight=False,
+                   strategy="paragraph")
+    assert s.endswith("30% floor.") and "Second" not in s
+    # 30% fallback: a tiny leading paragraph keeps the sentence result
+    tiny = "spark.\n\nSecond paragraph is long and informative enough."
+    t = py_snippet(tiny, ["spark"], length=50, highlight=False,
+                   strategy="paragraph")
+    assert "Second" in t
+    with pytest.raises(ValueError):
+        py_snippet("x", ["x"], strategy="bogus")
