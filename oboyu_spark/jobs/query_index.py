@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--queries-file")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--scorer", choices=["taat", "bmw"], default="taat")
+    ap.add_argument("--mode", choices=["or", "and"], default="or",
+                    help="'and' = posting-list intersection (docs must "
+                         "contain every distinct query term)")
     ap.add_argument("--output")
     args = ap.parse_args()
 
@@ -46,7 +49,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()
-    res = search_index(spark, args.index, queries, k=args.k, scorer=args.scorer)
+    res = search_index(spark, args.index, queries, k=args.k,
+                       scorer=args.scorer, mode=args.mode)
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

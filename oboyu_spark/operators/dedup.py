@@ -173,6 +173,54 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints — Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) — the distinct window-min k-gram hashes that make a
+    document's winnowing fingerprint set (the MOSS local-fingerprint
+    scheme: guaranteed to share a selected hash with any document that
+    shares a run of ≥ k + window − 1 normalized characters).
+
+    Fully relational: char k-grams of the lowercased ws-collapsed text,
+    md5 per k-gram (bit-identical string in DuckDB → exact oracle),
+    rolling min over `window` consecutive positions, distinct. One
+    row per character — at 100 TB run it on truncated/normalized text
+    or behind a sampling filter; the plan itself is a single window
+    function over (doc, position), partition-local after one shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.text import collapse_whitespace
+
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(collapse_whitespace(F.col(text_col))).alias("t"),
+    ).filter(F.length("t") >= k)
+    kg = norm.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(t) - {k - 1}), "
+                   f"i -> md5(substring(t, i, {k})))")
+        ).alias("i", "h"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
+    nk = W.partitionBy("doc_id")
+    sel = kg.select(
+        "doc_id", "i",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(nk).alias("n_kgrams"),
+    ).filter(F.col("i") <= F.col("n_kgrams") - window)  # full windows only
+    return sel.select("doc_id", "fp").distinct()
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,21 @@ def quality_score(col: Column) -> Column:
     )
 
 
+# BPE-ish subword-count estimator: letter runs count once, digits and
+# every other non-space symbol (incl. each CJK char) count singly —
+# the classic cheap proxy for byte-pair-encoded token counts. The
+# pattern is shared verbatim with the DuckDB oracle; whitespace is
+# spelled as explicit chars because Java's \s and RE2's \s disagree
+# on \x0B.
+BPEISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+
+def bpeish_token_count(col: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(col, F.lit(BPEISH_PATTERN), F.lit(0))
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Whole-document content fingerprint: 64-bit xxhash of the
     whitespace-normalized text (exact-dup key)."""
