@@ -188,6 +188,31 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_docs(spark, sf_dir))
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token counting three ways: engine tokens / whitespace words /
+    # BPE-ish subword estimate — all codegen'd column expressions
+    from oboyu_spark.operators.textstats import (
+        bpeish_token_count, token_count, word_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        word_count(c).alias("n_words"),
+        bpeish_token_count(c).alias("n_bpeish"),
+    )
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rolling-hash (winnowing) document fingerprints — relational plan,
+    # exact DuckDB twin
+    from oboyu_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.dedup import exact_dup_groups
 
@@ -372,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_role_bm25": _q_transcripts_role_bm25,
         "transcripts_date_range": _q_transcripts_date_range,
         "text_profile": _q_text_profile,
+        "token_counts": _q_token_counts,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
@@ -417,6 +444,8 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         ),
         "transcripts_date_range": O.transcripts_date_range_sql(DATE_START, DATE_END),
         "text_profile": O.text_profile_sql(),
+        "token_counts": O.token_counts_sql(),
+        "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
         "exact_dup_groups": O.exact_dup_groups_sql(),
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),
         "minhash_signatures": O.minhash_signatures_sql(num_perm=4),

@@ -380,6 +380,48 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def token_counts_sql(table: str = "documents") -> str:
+    """Token-counting triple: index tokens (engine tokenizer spec),
+    whitespace words, and the BPE-ish subword estimate."""
+    from ..operators.textstats import BPEISH_PATTERN
+
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}'),
+                       x -> length(x) >= {MIN_TOKEN_LENGTH}))::INT AS n_tokens,
+       len(list_filter(string_split_regex(text, '{WS_RE2}+'),
+                       x -> length(x) > 0))::INT AS n_words,
+       len(regexp_extract_all(text, '{BPEISH_PATTERN}'))::INT AS n_bpeish
+FROM {table}"""
+
+
+def winnow_fingerprints_sql(k: int = 8, window: int = 4,
+                            source: str = "documents") -> str:
+    """Exact twin of dedup.winnowing_fingerprints: md5 char-k-gram
+    hashes of the lowercased ws-collapsed text, rolling window-min,
+    distinct selected hashes per doc."""
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '{WS_RE2}+', ' ', 'g'))) AS t
+  FROM {source}
+),
+kg AS (
+  SELECT doc_id, i, md5(substr(t, i, {k})) AS h
+  FROM n, UNNEST(generate_series(1, length(t) - {k - 1})) AS u(i)
+  WHERE length(t) >= {k}
+),
+sel AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS nk
+  FROM kg
+)
+SELECT DISTINCT doc_id, fp FROM sel WHERE i <= nk - {window} + 1"""
+
+
 def simhash_near_pairs_sql(bits: int = 32, max_hamming: int = 3,
                            source: str = "documents") -> str:
     """Exhaustive O(n²) hamming pairs — the oracle for the engine's

@@ -147,3 +147,28 @@ def test_simhash_near_pairs(spark, docs):
     assert got[(1, 2)] == 0 and got[(7, 8)] == 0 and got[(5, 6)] == 0
     assert (1, 4) in got
     assert (1, 5) not in got
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing property (Schleimer et al.): two docs sharing a
+    normalized substring of length ≥ k + window − 1 must share at least
+    one selected fingerprint hash."""
+    k, w = 8, 4
+    shared = "identical plagiarised passage of text"  # len >> k+w-1
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"completely different lead-in {shared} and another tail"),
+        (3, "no overlap with the others at all in this document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnowing_fingerprints(docs, k=k, window=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    # sanity: fingerprints are a strict subset of all k-gram hashes
+    import hashlib
+    norm = " ".join(rows[0][1].split()).lower()
+    all_kg = {hashlib.md5(norm[i:i + k].encode()).hexdigest()
+              for i in range(len(norm) - k + 1)}
+    assert by_doc[1] < all_kg
