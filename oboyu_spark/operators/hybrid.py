@@ -75,3 +75,46 @@ def hybrid_search(
             "doc_id", F.round("score", round_digits).alias("score")
         )
     return fused
+
+
+def hybrid_search_indexed(
+    reader,
+    embeddings: DataFrame,
+    query: str,
+    query_vec: Sequence[float],
+    k_each: int = 20,
+    limit: int = 10,
+    mode: str = "rrf",
+    rrf_k: int = RRF_K_DEFAULT,
+    weight_text: float = 0.5,
+    ann: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-shape hybrid: the BM25 branch runs against the PERSISTED
+    compressed index through an :class:`~oboyu_spark.operators.searchidx.
+    IndexReader` (warm executor-cached postings), the vector branch is
+    LSH-bucketed by default. Rank-identical to :func:`hybrid_search`
+    over the same corpus when the index was built from it (pinned by
+    tests) — this is the path a deployment runs per query."""
+    text_top = reader.search(query, k=k_each).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "score"
+    )
+    if ann:
+        vec_raw = lsh_ann_topk(embeddings, query_vec, k=k_each,
+                               id_col=id_col, vec_col=vec_col)
+    else:
+        vec_raw = cosine_topk(embeddings, query_vec, k=k_each,
+                              id_col=id_col, vec_col=vec_col)
+    vec_top = vec_raw.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    if mode == "rrf":
+        return rrf_fuse(text_top, vec_top, rrf_k=rrf_k, limit=limit)
+    if mode == "weighted":
+        return weighted_fuse(
+            normalize_scores(text_top), normalize_scores(vec_top),
+            weight_a=weight_text, weight_b=1.0 - weight_text, limit=limit,
+        )
+    raise ValueError(f"unknown hybrid mode {mode!r}")
