@@ -109,16 +109,35 @@ def term_hash_cols(term_col):
     )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_int")
-    ids = pdf["doc_int"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    dls = pdf["dl"].to_numpy(np.int64)
+def _encode_posting_list(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+    """One sorted posting list → (n, gaps, tfs, dls, blast, bmaxtf,
+    bmindl)."""
     n = ids.size
     n_blocks = (n + BLOCK - 1) // BLOCK
     block_last = [int(ids[min((i + 1) * BLOCK, n) - 1]) for i in range(n_blocks)]
     block_maxtf = [int(tfs[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
     block_mindl = [int(dls[i * BLOCK : (i + 1) * BLOCK].min()) for i in range(n_blocks)]
+    return (
+        n,
+        encode_doc_ids(ids.astype(np.uint64)),
+        encode_varbyte(tfs.astype(np.uint64)),
+        encode_varbyte(dls.astype(np.uint64)),
+        block_last,
+        block_maxtf,
+        block_mindl,
+    )
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-(shard,term,salt)-group encoder (applyInPandas shape) —
+    kept for tests/tools; the build uses the streaming partition
+    encoder below, which has no per-group Arrow/pandas machinery."""
+    pdf = pdf.sort_values("doc_int")
+    n, gaps, tfs_b, dls_b, blast, bmaxtf, bmindl = _encode_posting_list(
+        pdf["doc_int"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["dl"].to_numpy(np.int64),
+    )
     return pd.DataFrame(
         {
             "shard": [int(pdf["shard"].iloc[0])],
@@ -126,14 +145,79 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "th2": [int(pdf["th2"].iloc[0])],
             "salt": [int(pdf["salt"].iloc[0])],
             "n": [n],
-            "gaps": [encode_doc_ids(ids.astype(np.uint64))],
-            "tfs": [encode_varbyte(tfs.astype(np.uint64))],
-            "dls": [encode_varbyte(dls.astype(np.uint64))],
-            "block_last": [block_last],
-            "block_maxtf": [block_maxtf],
-            "block_mindl": [block_mindl],
+            "gaps": [gaps],
+            "tfs": [tfs_b],
+            "dls": [dls_b],
+            "block_last": [blast],
+            "block_maxtf": [bmaxtf],
+            "block_mindl": [bmindl],
         }
     )
+
+
+def _encode_frame(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame:
+    """Encode every complete group in ``pdf`` (rows pre-sorted by
+    (shard, th1, th2, salt, doc_int); ``bounds`` = group start indices
+    plus the end sentinel)."""
+    shard = pdf["shard"].to_numpy(np.int64)
+    th1 = pdf["th1"].to_numpy(np.int64)
+    th2 = pdf["th2"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int64)
+    di = pdf["doc_int"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    out: dict[str, list] = {k: [] for k in (
+        "shard", "th1", "th2", "salt", "n", "gaps", "tfs", "dls",
+        "block_last", "block_maxtf", "block_mindl")}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n, gaps, tfs_b, dls_b, blast, bmaxtf, bmindl = _encode_posting_list(
+            di[s:e], tf[s:e], dl[s:e]
+        )
+        out["shard"].append(int(shard[s]))
+        out["th1"].append(int(th1[s]))
+        out["th2"].append(int(th2[s]))
+        out["salt"].append(int(salt[s]))
+        out["n"].append(n)
+        out["gaps"].append(gaps)
+        out["tfs"].append(tfs_b)
+        out["dls"].append(dls_b)
+        out["block_last"].append(blast)
+        out["block_maxtf"].append(bmaxtf)
+        out["block_mindl"].append(bmindl)
+    return pd.DataFrame(out)
+
+
+def _encode_stream(batches):
+    """Streaming partition encoder (mapInPandas): rows arrive sorted by
+    (shard, th1, th2, salt, doc_int) within the partition; groups are
+    detected by key change-points in numpy and encoded in bulk — no
+    per-group Arrow round-trip, no per-group pandas construction. The
+    tail group of each Arrow batch is carried into the next batch
+    (groups may span batch boundaries). At real-corpus vocabulary scale
+    (10^8+ (term, shard, salt) groups per part) this is the difference
+    between a vectorized pass and 10^8 tiny applyInPandas invocations.
+    """
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        n = len(pdf)
+        if n == 0:
+            continue
+        keys = pdf[["shard", "th1", "th2", "salt"]].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        last_start = int(change[-1]) if change.size else 0
+        carry = pdf.iloc[last_start:].reset_index(drop=True)
+        if last_start:
+            bounds = np.concatenate([[0], change[change < last_start],
+                                     [last_start]]).astype(np.int64)
+            yield _encode_frame(pdf.iloc[:last_start], bounds)
+    if carry is not None and len(carry):
+        keys = carry[["shard", "th1", "th2", "salt"]].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        bounds = np.concatenate([[0], change, [len(carry)]]).astype(np.int64)
+        yield _encode_frame(carry, bounds)
 
 
 def wtf_upper(maxtf, mindl, k1: float, b: float, avgdl: float):
@@ -465,19 +549,23 @@ def _build_one_part(
             / F.lit(shard_size)
         ).cast("int").alias("salt"),
     )
-    postings = enriched.groupBy("shard", "th1", "th2", "salt").applyInPandas(
-        _encode_group, schema=POSTINGS_SCHEMA
+    # ONE encode shuffle: repartition by shard, sort groups contiguous,
+    # stream-encode whole partitions (no per-group applyInPandas — see
+    # _encode_stream), and the output is ALREADY sorted by th1 within
+    # each file for row-group pruning, so no post-encode repartition.
+    # th1-first sort nesting: groups stay contiguous (full group key in
+    # the sort) AND files keep globally ascending th1 → tight parquet
+    # row-group min/max for the query-side term filter
+    postings = (
+        enriched.repartition(max(2, _spp(index_dir) // 4), "shard")
+        .sortWithinPartitions("th1", "th2", "salt", "shard", "doc_int")
+        .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
     )
     # each part owns its own postings root → part builds can run
     # CONCURRENTLY (disjoint output paths, no shared-directory
     # partition-overwrite semantics to get wrong); readers discover
     # bpart=*/ via normal partition inference
-    (
-        postings.repartition(max(2, _spp(index_dir) // 4), "shard")
-        .sortWithinPartitions("th1", "salt")
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/postings/bpart={p}")
-    )
+    postings.write.mode("overwrite").parquet(f"{index_dir}/postings/bpart={p}")
 
     toks.unpersist()
     tf.unpersist()
