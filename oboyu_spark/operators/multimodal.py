@@ -161,6 +161,56 @@ def feature_rows(assets: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+def resize_images(assets: DataFrame, out_w: int = 4,
+                  out_h: int = 4) -> DataFrame:
+    """Image-resize plumbing: (asset_id, out_w, out_h, pixels binary).
+
+    The Spark-side contract is real — metadata-driven source
+    dimensions (meta['width'/'height']), Arrow-batched mapInPandas, a
+    nearest-neighbor index grid computed in numpy exactly as a real
+    resizer would address decoded pixels — but the 'decoded image' is
+    the deterministic sha-expansion of the payload (no PIL in this
+    container; swap ``_fake_pixels`` for a real decode per executor).
+    """
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ])
+
+    def _fake_pixels(data: bytes, w: int, h: int) -> np.ndarray:
+        """Deterministic stand-in for a decoded grayscale image."""
+        flat = _bytes_features(data or b"", w * h)
+        return ((flat + 1.0) * 128.0).astype(np.uint8).reshape(h, w)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "out_w": [], "out_h": [], "pixels": []}
+            for aid, kind, data, meta in zip(
+                pdf["asset_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                if kind != "image":
+                    continue
+                # cap fake source dims; a real decoder uses them as-is
+                src_w = min(int(meta.get("width", "8")), 64)
+                src_h = min(int(meta.get("height", "8")), 64)
+                img = _fake_pixels(
+                    bytes(data) if data is not None else b"", src_w, src_h
+                )
+                # nearest-neighbor resize — the real addressing math
+                ys = (np.arange(out_h) * src_h // out_h).clip(0, src_h - 1)
+                xs = (np.arange(out_w) * src_w // out_w).clip(0, src_w - 1)
+                small = img[np.ix_(ys, xs)]
+                rows["asset_id"].append(int(aid))
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["pixels"].append(small.tobytes())
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
 def frame_sample_stub(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic 'frame sampling' for video assets: n byte-slices
     of the payload standing in for decoded frames. Real frame decode

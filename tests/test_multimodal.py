@@ -49,3 +49,17 @@ def test_frame_sample(spark, assets):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_media(b"xx", "image")
+
+
+def test_resize_images(spark, assets):
+    out = M.resize_images(assets, out_w=4, out_h=3).collect()
+    n_images = assets.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert (r["out_w"], r["out_h"]) == (4, 3)
+        assert len(bytes(r["pixels"])) == 4 * 3
+    # deterministic across runs
+    again = {r["asset_id"]: bytes(r["pixels"])
+             for r in M.resize_images(assets, out_w=4, out_h=3).collect()}
+    for r in out:
+        assert again[r["asset_id"]] == bytes(r["pixels"])
