@@ -327,6 +327,16 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, QVEC, k=10, bits=6, n_tables=4)
 
 
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN (numpy k-means coarse quantizer → rows-only check; exact
+    # cosine verify over the probed lists)
+    from oboyu_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, QVEC, k=10, n_lists=8, nprobe=3, sample=2000,
+                    round_digits=ROUND)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow mapInPandas feature extraction, projected to one hashable
     # (asset_id, kind, dim_idx, value) row per dimension — exact-oracle
@@ -412,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
         "corpus_stats": _q_corpus_stats,
         "path_filtered": _q_path_filtered,

@@ -143,6 +143,100 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, "vec_id", "embedding")
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path besides LSH
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd k-means in numpy over a
+    seeded sample collected to the driver (the FAISS-style IVF recipe —
+    training is always a small-sample, single-node step; only
+    assignment and search are distributed). Returns (n_lists, dim)."""
+    frac_rows = embeddings.select(vec_col).limit(sample).collect()
+    x = np.asarray([r[0] for r in frac_rows], dtype=np.float64)
+    if x.shape[0] < n_lists:
+        raise ValueError(
+            f"need at least n_lists={n_lists} vectors to train, "
+            f"got {x.shape[0]}"
+        )
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=n_lists, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, list_id) — nearest-centroid assignment via a
+    vectorized Arrow UDF (one matmul per batch). At 100 TB this is the
+    partitioning key: write the table bucketed/partitioned by list_id
+    and searches scan only the probed lists."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.to_numpy()).astype(np.float64)
+        d = (mat ** 2).sum(axis=1)[:, None] - 2.0 * (mat @ cent.T) + cent_sq
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _assign(F.col(vec_col)).alias("list_id"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine over only the ``nprobe`` inverted
+    lists whose centroids are nearest the query — scanned fraction
+    ≈ nprobe/n_lists. Pass precomputed ``centroids`` in production
+    (train once, search many)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_lists, sample, iters, seed, vec_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("list_id").isin(probes)).select(
+        "vec_id", "embedding"
+    )
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding",
+                       round_digits=round_digits)
+
+
 def lsh_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

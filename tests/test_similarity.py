@@ -77,3 +77,28 @@ def test_deterministic_buckets(spark, emb_df):
                                           n_tables=2).select(
         "vec_id", "table", "bucket").collect()))
     assert a == b
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb_df, vectors):
+    """IVF: scanned fraction = nprobe/n_lists; the planted near-dup and
+    the query's own vector must fall in probed lists, and training is
+    deterministic (same seed → same centroids → same results)."""
+    q = [float(x) for x in vectors[10]]
+    cent = S.ivf_train_centroids(emb_df, n_lists=8, sample=N, iters=8, seed=5)
+    cent2 = S.ivf_train_centroids(emb_df, n_lists=8, sample=N, iters=8, seed=5)
+    assert np.allclose(cent, cent2)
+
+    got = S.ivf_topk(emb_df, q, k=5, n_lists=8, nprobe=3,
+                     centroids=cent).collect()
+    assert got[0]["vec_id"] == 10  # self lands in its own list
+    assert 11 in {r["vec_id"] for r in got}  # planted near-dup
+    exact = {r["vec_id"] for r in S.cosine_topk(emb_df, q, k=5).collect()}
+    assert len(exact & {r["vec_id"] for r in got}) >= 3
+
+    # the probed candidate set is a strict subset of the corpus
+    assigned = S.ivf_assign(emb_df, cent)
+    sizes = dict(
+        (r["list_id"], r["n"]) for r in
+        assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert len(sizes) > 1 and sum(sizes.values()) == N
