@@ -203,6 +203,8 @@ class IndexReader:
     first search pays cache materialization; subsequent searches scan
     the in-memory columnar cache instead of parquet."""
 
+    DF_CACHE_MAX = 1_000_000  # term-df cache entries (driver memory)
+
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache: bool = True) -> None:
         self.spark = spark
@@ -216,15 +218,38 @@ class IndexReader:
         if cache:
             for df in self._dfs.values():
                 df.persist()
+        # (th1, th2) -> document_frequency, filled lazily per search.
+        # Serving workloads repeat query terms heavily; once a term is
+        # cached, searches using only cached terms skip the vocabulary
+        # job entirely (one less Spark job per query). Bounded — the
+        # full 10^8-term vocabulary never lands on the driver.
+        self._df_cache: dict[tuple[int, int], int | None] = {}
 
     def search(self, queries: str | Sequence[str], k: int = 10,
                scorer: str = "taat", mode: str = "or") -> DataFrame:
         return _search(self.spark, self.meta, self._dfs, self.index_dir,
-                       queries, k, scorer, mode)
+                       queries, k, scorer, mode, df_cache=self._df_cache)
 
     def close(self) -> None:
         for df in self._dfs.values():
             df.unpersist()
+
+
+def _driver_rank_cut(rows, k: int):
+    """Per-query rank-≤-k cut with ties kept (score only — the doc_id
+    tie-break happens after hydration), numpy-free driver-side
+    equivalent of the Spark rank window."""
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    out = []
+    for lst in by_q.values():
+        lst.sort(key=lambda r: -r["score"])
+        if len(lst) > k:
+            kth = lst[k - 1]["score"]
+            lst = [r for r in lst if r["score"] >= kth]
+        out.extend(lst)
+    return out
 
 
 def _search(
@@ -236,6 +261,7 @@ def _search(
     k: int,
     scorer: str,
     mode: str = "or",
+    df_cache: dict | None = None,
 ) -> DataFrame:
     if isinstance(queries, str):
         queries = [queries]
@@ -280,20 +306,38 @@ def _search(
         )
         for t in all_terms
     }
-    hash_df = spark.createDataFrame(
-        [(h1, h2) for h1, h2 in term_to_hash.values()], "th1 long, th2 long"
-    )
-    vocab = (
-        table("vocabulary")
-        .join(F.broadcast(hash_df), ["th1", "th2"])
-        .collect()
-    )
-    idf_by_hash = {
-        (r["th1"], r["th2"]): math.log(
-            (n_docs - r["document_frequency"] + 0.5)
-            / (r["document_frequency"] + 0.5)
+    # df per term: serve from the reader's cache where possible (the
+    # cache stores the reader's SNAPSHOT of df, incl. "absent" as None
+    # — consistent with the persisted DataFrames); run the vocabulary
+    # job only for terms not seen before. idf is derived fresh from
+    # df + current n_docs, so collection stats are never cached.
+    df_by_hash: dict[tuple[int, int], int | None] = {}
+    missing: list[tuple[int, int]] = []
+    for h in term_to_hash.values():
+        if df_cache is not None and h in df_cache:
+            df_by_hash[h] = df_cache[h]
+        else:
+            missing.append(h)
+    if missing:
+        hash_df = spark.createDataFrame(missing, "th1 long, th2 long")
+        vocab = (
+            table("vocabulary")
+            .join(F.broadcast(hash_df), ["th1", "th2"])
+            .collect()
         )
-        for r in vocab
+        found = {
+            (r["th1"], r["th2"]): int(r["document_frequency"]) for r in vocab
+        }
+        for h in missing:
+            df_by_hash[h] = found.get(h)
+        if df_cache is not None and len(df_cache) < IndexReader.DF_CACHE_MAX:
+            df_cache.update(
+                {h: df_by_hash[h] for h in missing}
+            )
+    idf_by_hash = {
+        h: math.log((n_docs - df + 0.5) / (df + 0.5))
+        for h, df in df_by_hash.items()
+        if df is not None
     }
     if not idf_by_hash:
         return empty
@@ -337,19 +381,27 @@ def _search(
     # doc_int order equals doc_id order only for the initial build —
     # append_docs hands out strictly higher doc_int ranges regardless
     # of key order — so the pre-hydration cut keeps ALL score-ties at
-    # the k boundary (rank, not row_number) and the final cut happens
-    # on the hydrated original keys.
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
-    top = (
-        local.withColumn("rnk", F.rank().over(w))
-        .filter(F.col("rnk") <= k)
-        .drop("rnk")
-    )
-    # gather the ≤ queries×k(+ties) winners to the driver, then hydrate
-    # keys from the docmap with an id-pushed filter — the docmap is
-    # sorted by doc_int, so parquet min/max stats prune to the few row
-    # groups containing winners instead of scanning all 10^12 rows
-    top_rows = top.collect()
+    # the k boundary (rank semantics) and the final cut happens on the
+    # hydrated original keys.
+    n_shards = max(1, -(-n_docs // shard_size))
+    if len(queries) * n_shards * k <= 200_000:
+        # small candidate set: collect the shard winners directly and
+        # rank-cut on the driver — skips the window's shuffle exchange
+        # (one fewer stage on the latency path; p50 matters in serving)
+        top_rows = _driver_rank_cut(local.collect(), k)
+    else:
+        # cluster scale (10^4+ shards): rank in Spark
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+        top_rows = (
+            local.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= k)
+            .drop("rnk")
+            .collect()
+        )
+    # hydrate keys from the docmap with an id-pushed filter — the
+    # docmap is sorted by doc_int, so parquet min/max stats prune to
+    # the few row groups containing winners instead of scanning all
+    # 10^12 rows
     if not top_rows:
         return empty
     ids = sorted({int(r["doc_int"]) for r in top_rows})
