@@ -365,7 +365,8 @@ def _q_path_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Q11: snippets + highlighting over hydrated top-k (rows-only check)
+    # Q11: snippets + highlighting over hydrated top-k (exact DuckDB
+    # oracle: full SQL twin of the density window — snippets_sql)
     from oboyu_spark.functions.text import py_tokenize
     from oboyu_spark.operators.snippets import with_snippets
 

@@ -121,13 +121,11 @@ def ngram_jaccard_pairs(
     sh = doc_shingles(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .filter(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
-        )
-        cand_sh = sh.join(rare, "shingle", "left_semi")
+        # candidate generation over rare shingles only (doc_shingles
+        # owns the df-cap filter); NB the shingle lineage is evaluated
+        # once per join side per action — at real scale persist or
+        # checkpoint `sh` upstream before calling this
+        cand_sh = doc_shingles(docs, n, id_col, text_col, max_shingle_df)
         a = cand_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = cand_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         cand = (

@@ -61,12 +61,18 @@ def hybrid_search(
     vec_top = vec_raw.select(
         F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
     )
+    # fuse the FULL candidate union (≤ 2·k_each rows) and apply the
+    # limit after rounding: the engine-wide invariant is that top-k
+    # membership is decided on ROUNDED scores (float-noise-proof
+    # boundaries vs the oracle), so the cut must not happen inside the
+    # fuse on raw doubles
+    full = 2 * k_each
     if mode == "rrf":
-        fused = rrf_fuse(text_top, vec_top, rrf_k=rrf_k, limit=limit)
+        fused = rrf_fuse(text_top, vec_top, rrf_k=rrf_k, limit=full)
     elif mode == "weighted":
         fused = weighted_fuse(
             normalize_scores(text_top), normalize_scores(vec_top),
-            weight_a=weight_text, weight_b=1.0 - weight_text, limit=limit,
+            weight_a=weight_text, weight_b=1.0 - weight_text, limit=full,
         )
     else:
         raise ValueError(f"unknown hybrid mode {mode!r}")
@@ -74,7 +80,10 @@ def hybrid_search(
         fused = fused.select(
             "doc_id", F.round("score", round_digits).alias("score")
         )
-    return fused
+    return (
+        fused.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
 
 
 def hybrid_search_indexed(

@@ -336,6 +336,10 @@ def _stage_docs(
         tagged.write.mode("overwrite").partitionBy("pid").parquet(gdir)
     finally:
         keyed.unpersist()
+    # zero-row input writes only _SUCCESS — no pid=* dirs to infer a
+    # schema from; return the empty staging gracefully (round-1 parity)
+    if not any(f.startswith("pid=") for f in os.listdir(gdir)):
+        return 0, [], {}
     back = spark.read.parquet(gdir)
     # one integrity/offsets job: range partitioning puts EQUAL keys in
     # the same pid, so global key-distinctness == Σ per-pid distincts
@@ -846,7 +850,7 @@ def sync_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     delete_missing: bool = True,
-    compact: bool = False,
+    compact: bool = True,
 ) -> dict:
     """Automatic change detection + incremental sync — the reference's
     change_detector.py:64-105 ("hash" strategy) as ONE operator:
@@ -859,10 +863,14 @@ def sync_docs(
       them — the "incoming is a partial feed" mode)
 
     Only the CHANGED key set is collected (churn-bounded, not corpus-
-    bounded). Stats (N/avgdl/df) follow the delete_docs contract:
-    tombstoned docs vanish from results immediately, exact df/avgdl
-    return at ``compact=True`` (or a later compact_index call).
-    Returns {"new": n, "modified": n, "deleted": n, "meta": meta}.
+    bounded). ``compact=True`` (the default) rewrites the affected
+    parts so df/N/avgdl are exact after the sync; ``compact=False``
+    defers that (tombstoned docs vanish from results immediately but
+    stats stay stale per the delete_docs contract — on heavy churn a
+    term's stale df can exceed the post-append N, which the query path
+    rejects with an explicit "run compact_index" error rather than
+    serving broken scores). Returns
+    {"new": n, "modified": n, "deleted": n, "meta": meta}.
     """
     spark = docs.sparkSession
     incoming = docs.select(
@@ -915,15 +923,12 @@ def sync_docs(
     if compact:
         meta = compact_index(spark, index_dir)
     if meta is None:
-        meta = (
-            finalize_index(
-                spark, index_dir,
-                (m := load_meta(index_dir))["k1"], m["b"],
-                m["min_token_length"], m["shard_size"], m["salt_chunk"],
-            )
-            if del_keys
-            else load_meta(index_dir)
-        )
+        # delete-only sync without compaction follows the delete_docs
+        # contract exactly: tombstoned docs vanish from results NOW,
+        # stats (N/avgdl/df) stay pre-delete until compact_index — a
+        # partial finalize here would shrink N under stale df (df > N
+        # breaks the ln-IDF domain) and desync every surviving score.
+        meta = load_meta(index_dir)
     return {
         "new": len(new_keys),
         "modified": len(mod_keys),

@@ -334,6 +334,13 @@ def _search(
             df_cache.update(
                 {h: df_by_hash[h] for h in missing}
             )
+    for h, df in df_by_hash.items():
+        if df is not None and n_docs - df + 0.5 <= 0:
+            raise ValueError(
+                f"term df={df} exceeds collection size N={n_docs} — the "
+                "index has uncompacted deletions/updates whose stale df "
+                "breaks the ln-IDF domain; run compact_index first"
+            )
     idf_by_hash = {
         h: math.log((n_docs - df + 0.5) / (df + 0.5))
         for h, df in df_by_hash.items()

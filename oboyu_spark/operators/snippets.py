@@ -42,16 +42,15 @@ _PARA_BREAK = re.compile(r"\n\s*\n")
 
 
 def _avoid_word_breaks(text: str) -> str:
-    """reference snippet_strategies.py:156-180."""
+    """reference snippet_strategies.py:156-180 (its forward rescan is
+    unreachable — if the backward scan finds no non-alnum char there is
+    none — so it is not reproduced here)."""
     if not text:
         return text
     if text[-1].isalnum():
         for i in range(len(text) - 1, -1, -1):
             if not text[i].isalnum():
                 return text[: i + 1].strip()
-        for i in range(len(text)):
-            if not text[i].isalnum():
-                return text[:i].strip()
     return text.strip()
 
 
@@ -89,6 +88,10 @@ def py_snippet(
         return ""
     if not terms:
         return text[:length]
+    # DISTINCT terms: a duplicated query token must not double-weight
+    # its positions in the density window (keeps the engine identical
+    # to the oracle SQL, which scans per distinct term)
+    terms = list(dict.fromkeys(terms))
     lowered = text.lower()
     positions: list[int] = []
     for t in terms:

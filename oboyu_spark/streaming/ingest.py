@@ -17,11 +17,11 @@ Replay safety has TWO layers:
   partial duplicate re-stage, surfacing the conflict instead of
   corrupting;
 - crash BETWEEN a completed append and the streaming checkpoint
-  commit: the replayed batch would silently re-append under fresh id
-  ranges, so ``handle_batch`` records finalized batch ids in a small
-  manifest (``stream_batches.json``) inside the index dir and skips a
-  batch id it has already finalized (the foreachBatch exactly-once
-  recipe from the Structured Streaming guide).
+  commit: a replayed batch is first checked against the batch-id
+  manifest (``stream_batches.json``, the foreachBatch recipe from the
+  Structured Streaming guide) and then anti-joined against the live
+  docmap keys — so even a replay landing in the instant between the
+  finished append and the manifest write re-appends nothing.
 
 Batch mode stays the primary path (the north rule is batch); this is
 the operational "keep the index fresh" add-on.
@@ -54,8 +54,18 @@ def _mark_batch_done(index_dir: str, batch_id: int) -> None:
 
 
 def handle_batch_factory(index_dir: str):
-    """foreachBatch handler: append the micro-batch unless its batch id
-    is already finalized in the batch manifest (replay no-op)."""
+    """foreachBatch handler with two replay guards: the batch manifest
+    (fast path — skip a batch id already finalized) and, for the crash
+    window between a completed append and the manifest write, an
+    anti-join of the batch's doc keys against the live docmap so a
+    replayed batch re-appends only keys that did NOT land (usually
+    none). Together these make the append effectively exactly-once
+    without requiring the manifest write to be atomic with the index
+    commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
     from ..operators.postings import append_docs
 
     def handle_batch(batch_df, batch_id: int) -> None:
@@ -63,6 +73,15 @@ def handle_batch_factory(index_dir: str):
             return
         if int(batch_id) in _done_batches(index_dir):
             return  # replay of a fully-finalized batch — idempotent skip
+        if os.path.isdir(f"{index_dir}/docmap"):
+            existing = (
+                batch_df.sparkSession.read.parquet(f"{index_dir}/docmap")
+                .select("doc_id")
+            )
+            batch_df = batch_df.join(existing, "doc_id", "left_anti")
+            if batch_df.isEmpty():
+                _mark_batch_done(index_dir, batch_id)
+                return  # crash-window replay: everything already landed
         append_docs(batch_df, index_dir)
         _mark_batch_done(index_dir, batch_id)
 

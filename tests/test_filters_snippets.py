@@ -102,3 +102,14 @@ def test_py_snippet_paragraph_strategy():
     assert "Second" in t
     with pytest.raises(ValueError):
         py_snippet("x", ["x"], strategy="bogus")
+
+
+def test_py_snippet_duplicate_terms_match_distinct():
+    """Duplicate query tokens must not double-weight the density window
+    (the DuckDB oracle scans per DISTINCT term)."""
+    text = ("spark appears here twice spark and join shows up far away "
+            + "x" * 200 + " join join join cluster")
+    a = py_snippet(text, ["spark", "spark", "join"], length=60,
+                   highlight=False)
+    b = py_snippet(text, ["spark", "join"], length=60, highlight=False)
+    assert a == b

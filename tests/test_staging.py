@@ -100,3 +100,27 @@ def test_encode_stream_groups_spanning_batches():
     assert len(r1["block_last"]) == (25_000 + 127) // 128
     r2 = out[out.th1 == 12].iloc[0]
     assert r2["n"] == 2 and decode_doc_ids(r2["gaps"]).tolist() == [3, 8]
+
+
+def test_empty_corpus_build_and_append(spark, tmp_path):
+    """Zero-row builds/appends must produce an empty index gracefully
+    (the pid-partitioned staged write emits no data files to infer a
+    schema from — regression guard)."""
+    from oboyu_spark.operators.postings import append_docs, build_index
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    d = str(tmp_path / "emptyidx")
+    meta = build_index(empty, d, shard_size=50, salt_chunk=60,
+                       shards_per_part=2, id_assign_partitions=4)
+    assert meta["n_docs"] == 0 and meta["n_postings"] == 0
+    assert search_index(spark, d, "anything", k=5).count() == 0
+    # empty append over a real index is a no-op
+    docs = turns_as_docs(
+        synthesize_transcripts(spark, n_convs=5, max_turns=3, seed=4)
+    ).select("doc_id", "text")
+    d2 = str(tmp_path / "realidx")
+    m1 = build_index(docs, d2, shard_size=50, salt_chunk=60,
+                     shards_per_part=2, id_assign_partitions=4)
+    m2 = append_docs(empty, d2)
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["n_postings"] == m1["n_postings"]
