@@ -40,6 +40,12 @@ from .postings import load_meta
 
 RESULT_SCHEMA = "query_id int, doc_int long, score double"
 
+# gather strategy cutover: below this many candidate rows
+# (queries × shards × k) the shard winners are rank-cut on the driver
+# (skips a window shuffle — latency path); above it the rank runs in
+# Spark (cluster scale, 10^4+ shards)
+DRIVER_CUT_MAX_ROWS = 200_000
+
 
 def _query_maps(queries: Sequence[str], min_token_length: int):
     """qid -> [(term, qtf)], and the union term set."""
@@ -391,7 +397,7 @@ def _search(
     # the k boundary (rank semantics) and the final cut happens on the
     # hydrated original keys.
     n_shards = max(1, -(-n_docs // shard_size))
-    if len(queries) * n_shards * k <= 200_000:
+    if len(queries) * n_shards * k <= DRIVER_CUT_MAX_ROWS:
         # small candidate set: collect the shard winners directly and
         # rank-cut on the driver — skips the window's shuffle exchange
         # (one fewer stage on the latency path; p50 matters in serving)

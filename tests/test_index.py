@@ -173,3 +173,15 @@ def test_index_reader_matches_oneshot(spark, index_dir):
             assert a == b, q
     finally:
         reader.close()
+
+
+def test_gather_paths_identical(spark, corpus, index_dir, monkeypatch):
+    """The driver-side rank cut (small candidate sets) and the Spark
+    window path (cluster scale) must return identical results."""
+    from oboyu_spark.operators import searchidx as SI
+
+    fast = search_index(spark, index_dir, QUERIES, k=7).collect()
+    monkeypatch.setattr(SI, "DRIVER_CUT_MAX_ROWS", 0)  # force Spark window
+    slow = search_index(spark, index_dir, QUERIES, k=7).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], round(r["score"], 12))
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
