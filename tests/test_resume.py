@@ -242,3 +242,24 @@ def test_sync_docs_change_detection(spark, tmp_path):
     out2 = sync_docs(incoming, d)
     assert (out2["new"], out2["modified"], out2["deleted"]) == (0, 0, 0)
     assert out2["meta"]["n_docs"] == len(updated)
+
+
+def test_stale_df_guard_raises_clear_error(spark, tmp_path):
+    """A half-finalized index (N recomputed under stale df, e.g. manual
+    finalize after heavy deletion without compaction) must fail with an
+    explicit run-compact error, not a math domain error."""
+    from oboyu_spark.operators.postings import delete_docs, finalize_index
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "zz common text") for i in range(4)],
+        "doc_id string, text string",
+    )
+    d = str(tmp_path / "idx")
+    build_index(docs, d, **KW)
+    delete_docs(spark, d, ["d0", "d1", "d2"])
+    finalize_index(spark, d, 1.2, 0.75, 2, KW["shard_size"], KW["salt_chunk"])
+    with pytest.raises(ValueError, match="compact_index"):
+        search_index(spark, d, "zz", k=5).collect()
+    # compaction restores a consistent, queryable index
+    compact_index(spark, d)
+    assert search_index(spark, d, "zz", k=5).count() == 1
