@@ -40,6 +40,14 @@ and the python oracle (test_wand).
 Salt chunks of one term are concatenated (they are disjoint ascending
 doc ranges by construction) so the scorer sees one ordered stream per
 term.
+
+Lineage: block-max bounds per Ding & Suel's Block-Max WAND (SIGIR
+2011); evaluating them at fixed doc-range granularity instead of a
+per-document pivot loop is the vectorization-friendly variant (cf. the
+columnar/vectorized inverted-index line of work, e.g. "Columnar
+Formatted Inverted Index for Highly-Paralleled, Vectorized Query
+Processing", ICDE 2025 — see PAPERS.md), which trades a slightly
+looser bound for batch-scoring whole candidate ranges in numpy.
 """
 
 from __future__ import annotations
