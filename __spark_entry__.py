@@ -188,6 +188,22 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_docs(spark, sf_dir))
 
 
+def _q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (one shuffle, partition-local windows)
+    # over the events table; per-session rollup with epoch-second
+    # boundaries so the hash is float-free
+    from oboyu_spark.operators.sessionize import sessionize_turns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_turns(ev, gap_minutes=30, conv_col="user_id",
+                         ts_col="ts", tiebreak_col="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("ts").cast("timestamp").cast("long").alias("started_s"),
+        F.max("ts").cast("timestamp").cast("long").alias("ended_s"),
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token counting three ways: engine tokens / whitespace words /
     # BPE-ish subword estimate — all codegen'd column expressions
@@ -409,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_date_range": _q_transcripts_date_range,
         "text_profile": _q_text_profile,
         "token_counts": _q_token_counts,
+        "sessionized_events": _q_sessionized_events,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -457,6 +474,7 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "transcripts_date_range": O.transcripts_date_range_sql(DATE_START, DATE_END),
         "text_profile": O.text_profile_sql(),
         "token_counts": O.token_counts_sql(),
+        "sessionized_events": O.sessionized_events_sql(gap_minutes=30),
         "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
         "exact_dup_groups": O.exact_dup_groups_sql(),
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),

@@ -380,6 +380,37 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def sessionized_events_sql(gap_minutes: int = 30) -> str:
+    """Exact twin of sessionize_turns + session_stats over the events
+    table (user_id as the conversation key, event_id as the tiebreak).
+    Gap arithmetic on floored epoch seconds, matching Spark's
+    ts.cast('long')."""
+    gap_s = gap_minutes * 60
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL THEN 0
+              WHEN floor(epoch(ts)) - floor(epoch(prev_ts)) > {gap_s}
+                THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)::INT AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_turns,
+       floor(epoch(min(ts)))::BIGINT AS started_s,
+       floor(epoch(max(ts)))::BIGINT AS ended_s
+FROM sess GROUP BY user_id, session_idx"""
+
+
 def token_counts_sql(table: str = "documents") -> str:
     """Token-counting triple: index tokens (engine tokenizer spec),
     whitespace words, and the BPE-ish subword estimate."""

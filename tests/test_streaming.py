@@ -85,3 +85,38 @@ def test_replay_of_finalized_batch_is_skipped(spark, tmp_path):
     # simulated checkpoint replay of the SAME finalized batch id
     handler(extra, 0)
     assert load_meta(idx)["n_docs"] == n0 + n_extra  # not double-indexed
+
+
+def test_windowed_turn_counts_with_watermark(spark, tmp_path):
+    """Append-mode watermark semantics: only FINALIZED windows (end <
+    watermark) reach the sink, their counts equal the batch groupBy,
+    and a replayed/late drop can't double-count them."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.streaming.aggregate import (
+        stream_turn_rates, windowed_turn_counts,
+    )
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    tr = synthesize_transcripts(spark, n_convs=40, max_turns=8, seed=21)
+    tr.write.mode("overwrite").parquet(inp)
+
+    q = stream_turn_rates(spark, inp, outp, chk,
+                          window="10 minutes", watermark="30 minutes")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(outp)
+    batch = (
+        tr.groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "role", "n_turns")
+    )
+    max_ts = tr.agg(F.max("ts")).collect()[0][0]
+    g = {(r["window_start"], r["role"]): r["n_turns"] for r in got.collect()}
+    b = {(r["window_start"], r["role"]): r["n_turns"] for r in batch.collect()}
+    assert g, "no finalized windows emitted"
+    for k, v in g.items():
+        assert b[k] == v, k                    # exact counts
+        assert k[0] < max_ts                   # only closed windows
+    # tail windows (within the watermark horizon) are withheld
+    assert len(g) < len(b)

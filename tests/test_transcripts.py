@@ -113,3 +113,27 @@ def test_transcripts_from_documents_shape(spark):
     assert tr.count() == docs.count()
     td = turns_as_docs(tr)
     assert td.select("doc_id").distinct().count() == docs.count()
+
+
+def test_sessionize_turns_gap_semantics(spark):
+    from oboyu_spark.operators.sessionize import session_stats, sessionize_turns
+
+    rows = [
+        ("c1", 0, "2025-01-01 10:00:00"),
+        ("c1", 1, "2025-01-01 10:10:00"),   # 10 min → same session
+        ("c1", 2, "2025-01-01 11:30:00"),   # 80 min → new session
+        ("c1", 3, "2025-01-01 11:40:00"),
+        ("c2", 0, "2025-01-01 09:00:00"),   # other conv independent
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize_turns(df, gap_minutes=30)
+    got = {(r["conv_id"], r["turn_idx"]): r["session_id"]
+           for r in s.collect()}
+    assert got[("c1", 0)] == got[("c1", 1)] == "c1#0"
+    assert got[("c1", 2)] == got[("c1", 3)] == "c1#1"
+    assert got[("c2", 0)] == "c2#0"
+    stats = {(r["conv_id"], r["session_idx"]): r["n_turns"]
+             for r in session_stats(s).collect()}
+    assert stats[("c1", 0)] == 2 and stats[("c1", 1)] == 2
