@@ -120,3 +120,54 @@ def test_windowed_turn_counts_with_watermark(spark, tmp_path):
         assert k[0] < max_ts                   # only closed windows
     # tail windows (within the watermark horizon) are withheld
     assert len(g) < len(b)
+
+
+def test_stateful_sessionization_across_runs(spark, tmp_path):
+    """applyInPandasWithState sessionization: session ordinals carry
+    across file drops AND across query restarts (state store restored
+    from the checkpoint), matching the batch operator over the full
+    stream prefix."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.sessionize import sessionize_turns
+    from oboyu_spark.streaming.sessions import sessionize_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    rows1 = [
+        ("c1", 0, "2025-01-01 10:00:00"),
+        ("c1", 1, "2025-01-01 10:10:00"),
+        ("c2", 0, "2025-01-01 09:00:00"),
+    ]
+    rows2 = [
+        ("c1", 2, "2025-01-01 10:15:00"),   # within gap → same session
+        ("c1", 3, "2025-01-01 12:00:00"),   # 105 min → new session
+        ("c2", 1, "2025-01-01 11:00:00"),   # 120 min → new session
+    ]
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string"
+        ).select(
+            "conv_id", "turn_idx",
+            F.lit(None).cast("string").alias("role"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    _df(rows1).write.mode("append").parquet(inp)
+    q = sessionize_stream(spark, inp, outp, chk, gap_minutes=30)
+    q.awaitTermination(120)
+    _df(rows2).write.mode("append").parquet(inp)
+    q = sessionize_stream(spark, inp, outp, chk, gap_minutes=30)  # restart
+    q.awaitTermination(120)
+
+    got = {(r["conv_id"], r["turn_idx"]): r["session_id"]
+           for r in spark.read.parquet(outp).collect()}
+    # batch operator over the union is the oracle
+    full = _df(rows1 + rows2)
+    exp = {(r["conv_id"], r["turn_idx"]): r["session_id"]
+           for r in sessionize_turns(full, gap_minutes=30).collect()}
+    assert got == exp
+    assert got[("c1", 2)] == got[("c1", 0)]      # continued across runs
+    assert got[("c1", 3)] != got[("c1", 2)]      # gap opened new session
