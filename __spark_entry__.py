@@ -238,7 +238,13 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    # max_shingle_df=None: the DuckDB oracle is an exhaustive shingle
+    # self-join, so the oracle-checked path must opt out of the
+    # recall-capping hot-shingle guard (the engine default) — at a
+    # larger sf any shingle with df > cap would make the engine miss
+    # pairs the oracle finds. The capped path is exercised by pytest.
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2,
+                               max_shingle_df=None)
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,8 +287,7 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc_id", F.round("score", ROUND).alias("score"))
 
 
-# rows-only entries (non-SQL-expressible: python-hash LSH, chunk text,
-# Arrow feature extraction)
+# rows-only entries (non-SQL-expressible: numpy k-means, chunk text)
 
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded (pigeonhole) candidates + exact hamming verify — must equal
@@ -312,7 +317,7 @@ def _q_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: LSH-bucketed candidates + exact cosine
-    # verify (python-hash planes → rows-only check)
+    # verify (integer-quantized buckets → exact DuckDB oracle)
     from oboyu_spark.operators.similarity import lsh_near_pairs
 
     # threshold tuned to the synthetic embeddings (max pairwise cosine
@@ -337,10 +342,13 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer-quantized sign-LSH buckets are bit-identical in DuckDB →
+    # exact oracle (was rows-only in r1/r2)
     from oboyu_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann_topk(emb, QVEC, k=10, bits=6, n_tables=4)
+    return lsh_ann_topk(emb, QVEC, k=10, bits=6, n_tables=4,
+                        round_digits=ROUND)
 
 
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +496,13 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "rrf_fusion": O.rrf_fusion_sql(RRF_QA, RRF_QB, k=20, limit=10),
         "hybrid_topk": O.hybrid_topk_sql(BM25_Q1, QVEC, k_each=20, limit=10),
         "snippets": O.snippets_sql(BM25_Q1, k=10),
+        "lsh_ann_topk": O.lsh_ann_topk_sql(QVEC, k=10, bits=6, n_tables=4),
+        "embedding_near_pairs": O.lsh_near_pairs_sql(
+            threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)
+        ),
+        "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(
+            num_perm=16, bands=8, threshold=0.5
+        ),
         "corpus_stats": """
 SELECT count(*)::BIGINT AS n_rows,
        count(DISTINCT doc_id)::BIGINT AS n_docs,
@@ -497,7 +512,9 @@ FROM documents""",
 SELECT doc_id, source FROM documents
 WHERE regexp_matches(source, '^src.*$')
   AND NOT regexp_matches(source, '^src0$')""",
-        # chunk_documents / minhash_lsh_pairs / lsh_ann_topk:
-        # intentionally no oracle (python-hash LSH, free-text bodies)
-        # → the driver records the weaker rows-only check.
+        # chunk_documents (free-text bodies) / ivf_ann_topk (numpy
+        # k-means quantizer): intentionally no oracle → the driver
+        # records the weaker rows-only check; both carry pytest
+        # verification instead (reference-pinned chunker, recall +
+        # partition-pruning plan tests for IVF).
     }

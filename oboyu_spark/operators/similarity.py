@@ -72,21 +72,42 @@ def cosine_topk(
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
+#: fixed-point scales making every plane dot an EXACT integer (well
+#: under 2^53) in float64 — the bucket bit (dot > 0) is then
+#: bit-identical across numpy, Spark and DuckDB regardless of
+#: summation order, which is what lets the LSH entries carry exact
+#: DuckDB oracles instead of rows-only checks.
+LSH_VEC_SCALE = 10_000.0
+LSH_PLANE_SCALE = 1_000.0
+
+
 def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
+    """Integer-valued random hyperplanes: standard normals scaled by
+    LSH_PLANE_SCALE and rounded — direction is preserved to ~1e-3
+    (immaterial for sign-LSH) while every coefficient is an exact
+    small integer."""
     rng = np.random.default_rng(seed * 1_000_003 + table)
-    return rng.standard_normal((bits, dim))
+    return np.round(rng.standard_normal((bits, dim)) * LSH_PLANE_SCALE)
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """floor(x * SCALE + 0.5) — floor (not round) because IEEE floor is
+    identical in numpy, Spark and DuckDB while round-half ties break
+    differently (numpy half-to-even vs SQL half-away)."""
+    return np.floor(mat.astype(np.float64) * LSH_VEC_SCALE + 0.5)
 
 
 def lsh_bucket_udf(dim: int, bits: int = 12, n_tables: int = 2,
                    seed: int = 42):
-    """array<float> -> array<long> of per-table sign-bucket ids."""
+    """array<float> -> array<long> of per-table sign-bucket ids over
+    the quantized vector (see _quantize): one float64 matmul per Arrow
+    batch, every product/partial-sum an exact integer."""
     planes = [_hyperplanes(dim, bits, t, seed) for t in range(n_tables)]
     powers = (2 ** np.arange(bits)).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _bucket(s: pd.Series) -> pd.Series:
-        mat = np.stack(s.to_numpy())  # (batch, dim)
-        out = []
+        mat = _quantize(np.stack(s.to_numpy()))  # (batch, dim)
         per_table = [
             ((mat @ p.T) > 0).astype(np.int64) @ powers for p in planes
         ]
@@ -94,6 +115,20 @@ def lsh_bucket_udf(dim: int, bits: int = 12, n_tables: int = 2,
         return pd.Series(list(stacked))
 
     return _bucket
+
+
+def lsh_query_buckets(query_vec: Sequence[float], bits: int,
+                      n_tables: int, seed: int) -> list[tuple[int, int]]:
+    """[(table, bucket)] probes for a query vector — same quantized
+    integer arithmetic as the distributed side."""
+    q = _quantize(np.asarray(query_vec, dtype=np.float64))
+    powers = (2 ** np.arange(bits)).astype(np.int64)
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(q), bits, t, seed)
+        bucket = int(((planes @ q) > 0).astype(np.int64) @ powers)
+        out.append((t, bucket))
+    return out
 
 
 def lsh_bucketize(
@@ -122,17 +157,12 @@ def lsh_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only vectors sharing a bucket with the query in
     any table (exact cosine over the candidate set)."""
     dim = len(query_vec)
-    q = np.asarray(query_vec, dtype=np.float64)
-    probes = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, t, seed)
-        bucket = int(((planes @ q) > 0).astype(np.int64)
-                     @ (2 ** np.arange(bits)).astype(np.int64))
-        probes.append((t, bucket))
+    probes = lsh_query_buckets(query_vec, bits, n_tables, seed)
     bucketed = lsh_bucketize(embeddings, dim, bits, n_tables, seed,
                              id_col, vec_col)
     probe_df = bucketed.sparkSession.createDataFrame(
@@ -140,7 +170,8 @@ def lsh_ann_topk(
     )
     cand = bucketed.join(F.broadcast(probe_df), ["table", "bucket"]) \
         .select("vec_id", "embedding").dropDuplicates(["vec_id"])
-    return cosine_topk(cand, query_vec, k, "vec_id", "embedding")
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding",
+                       round_digits=round_digits)
 
 
 # ---------------------------------------------------------------------------
@@ -154,13 +185,28 @@ def ivf_train_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic coarse quantizer: Lloyd k-means in numpy over a
-    seeded sample collected to the driver (the FAISS-style IVF recipe —
-    training is always a small-sample, single-node step; only
-    assignment and search are distributed). Returns (n_lists, dim)."""
-    frac_rows = embeddings.select(vec_col).limit(sample).collect()
-    x = np.asarray([r[0] for r in frac_rows], dtype=np.float64)
+    deterministic pseudo-random sample collected to the driver (the
+    FAISS-style IVF recipe — training is always a small-sample,
+    single-node step; only assignment and search are distributed).
+
+    The sample is the ``sample`` rows with the smallest
+    ``xxhash64(id)`` — a hash order is (a) independent of partitioning
+    and parallelism (unlike ``limit`` on an unordered frame, which
+    returns whichever partitions answer first), (b) statistically a
+    uniform random draw (unlike head-of-table, which is biased under
+    any clustered layout), and (c) executed as a distributed top-k
+    (partial per-partition take + merge), never a full sort.
+    Returns (n_lists, dim)."""
+    frac_rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r["_v"] for r in frac_rows], dtype=np.float64)
     if x.shape[0] < n_lists:
         raise ValueError(
             f"need at least n_lists={n_lists} vectors to train, "
@@ -186,8 +232,8 @@ def ivf_assign(
 ) -> DataFrame:
     """(vec_id, embedding, list_id) — nearest-centroid assignment via a
     vectorized Arrow UDF (one matmul per batch). At 100 TB this is the
-    partitioning key: write the table bucketed/partitioned by list_id
-    and searches scan only the probed lists."""
+    partitioning key: ``ivf_build`` persists this frame partitioned by
+    list_id so ``ivf_search`` scans only the probed lists."""
     cent = np.asarray(centroids, dtype=np.float64)
     cent_sq = (cent ** 2).sum(axis=1)
 
@@ -218,19 +264,102 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_digits: int | None = None,
 ) -> DataFrame:
-    """IVF ANN top-k: exact cosine over only the ``nprobe`` inverted
-    lists whose centroids are nearest the query — scanned fraction
-    ≈ nprobe/n_lists. Pass precomputed ``centroids`` in production
-    (train once, search many)."""
+    """One-shot IVF ANN top-k over an UN-materialized corpus: assigns
+    every vector on the fly (a full scan + matmul — list_id is
+    UDF-computed here, so the probe filter cannot prune the scan).
+    This path exists for ad-hoc checks and the driver oracle; for
+    serving, ``ivf_build`` + ``ivf_search`` persist the assignment
+    partitioned by list_id and read only the probed partitions."""
     if centroids is None:
         centroids = ivf_train_centroids(
-            embeddings, n_lists, sample, iters, seed, vec_col
+            embeddings, n_lists, sample, iters, seed, vec_col, id_col
         )
-    q = np.asarray(query_vec, dtype=np.float64)
-    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    probes = _probe_lists(centroids, query_vec, nprobe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("list_id").isin(probes)).select(
+        "vec_id", "embedding"
+    )
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding",
+                       round_digits=round_digits)
+
+
+def _probe_lists(centroids: np.ndarray, query_vec: Sequence[float],
+                 nprobe: int) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((np.asarray(centroids, dtype=np.float64) - q[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_lists: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: train (or accept) centroids, assign
+    every vector, and persist the assignment PARTITIONED BY ``list_id``
+    (`out_dir/lists/list_id=N/`). This is the step that makes IVF's
+    promise real at scale — searches read only the probed directories
+    (Catalyst partition pruning on the partition column), never
+    re-assigning or re-scanning the corpus. Centroids are written to
+    ``out_dir/centroids.json`` so ``ivf_search`` is train-free.
+
+    Train once / search many: the FAISS IVF lifecycle, re-expressed as
+    a partitioned parquet layout instead of an in-process index."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_lists, sample, iters, seed, vec_col, id_col
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{out_dir}/lists"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/centroids.json", "w") as f:
+        json.dump(
+            {"n_lists": int(cent.shape[0]), "dim": int(cent.shape[1]),
+             "centroids": cent.tolist()},
+            f,
+        )
+    return cent
+
+
+def ivf_load_centroids(index_dir: str) -> np.ndarray:
+    import json
+
+    with open(f"{index_dir}/centroids.json") as f:
+        meta = json.load(f)
+    return np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF search over a persisted ``ivf_build`` index: nearest-centroid
+    probes are computed driver-side from the centroid sidecar, and the
+    scan reads ONLY the probed ``list_id=N`` partitions — the
+    ``isin`` filter lands in the scan's PartitionFilters (list_id is a
+    partition column, not a computed one), so the files of the other
+    n_lists − nprobe lists are never opened. Scanned fraction ≈
+    nprobe / n_lists by construction, verified by a plan-shape test."""
+    centroids = ivf_load_centroids(index_dir)
+    probes = _probe_lists(centroids, query_vec, nprobe)
+    lists = spark.read.parquet(f"{index_dir}/lists")
+    cand = lists.filter(F.col("list_id").isin(probes)).select(
         "vec_id", "embedding"
     )
     return cosine_topk(cand, query_vec, k, "vec_id", "embedding",
@@ -248,20 +377,30 @@ def lsh_near_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket-join candidates, exact
-    cosine verify ≥ threshold. (doc_a, doc_b, cosine)."""
+    cosine verify ≥ threshold. (doc_a, doc_b, cosine).
+
+    Shuffle hygiene: the band self-join carries ONLY (vec_id, table,
+    bucket) — the embedding arrays are re-attached once, AFTER
+    candidate dedup, by two id equi-joins (the same width fix as
+    minhash_lsh_pairs). Pinned by a plan-shape test: no embedding
+    column rides a (table, bucket) exchange."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     bucketed = lsh_bucketize(embeddings, dim, bits, n_tables, seed,
-                             id_col, vec_col)
-    a = bucketed.select(F.col("vec_id").alias("doc_a"),
-                        F.col("embedding").alias("ea"), "table", "bucket")
-    b = bucketed.select(F.col("vec_id").alias("doc_b"),
-                        F.col("embedding").alias("eb"), "table", "bucket")
+                             id_col, vec_col).select("vec_id", "table", "bucket")
+    a = bucketed.select(F.col("vec_id").alias("doc_a"), "table", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("doc_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    emb_a = embeddings.select(F.col(id_col).alias("doc_a"),
+                              F.col(vec_col).alias("ea"))
+    emb_b = embeddings.select(F.col(id_col).alias("doc_b"),
+                              F.col(vec_col).alias("eb"))
+    cand = cand.join(emb_a, "doc_a").join(emb_b, "doc_b")
     ea = F.col("ea").cast("array<double>")
     eb = F.col("eb").cast("array<double>")
     dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0),

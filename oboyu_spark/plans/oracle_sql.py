@@ -537,6 +537,145 @@ ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
 LIMIT {k}"""
 
 
+def minhash_lsh_pairs_sql(num_perm: int = 16, bands: int = 8,
+                          threshold: float = 0.5, n: int = 3,
+                          source: str = "dupdocs") -> str:
+    """Exact twin of dedup.minhash_lsh_pairs: md5 string-min signatures,
+    md5 band keys, per-band self-joins UNION-deduped, then the
+    signature-agreement estimate over the candidate set. Everything is
+    md5 hex strings and integer ratios — bit-identical across engines,
+    so the banded candidate SET (not just the estimate) matches the
+    engine's."""
+    rows_per_band = num_perm // bands
+    sigs = ", ".join(
+        f"min(md5(shingle || ':{i}')) AS sig_{i}" for i in range(num_perm)
+    )
+    band_exprs = []
+    for bnd in range(bands):
+        cols = " || '|' || ".join(
+            f"sig_{bnd * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_exprs.append(f"md5({cols}) AS band_{bnd}")
+    band_joins = "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_{bnd} = b.band_{bnd}
+  WHERE a.doc_id < b.doc_id"""
+        for bnd in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    pre = f"WITH {DUPDOCS_CTE}, " if source == "dupdocs" else "WITH "
+    return f"""{pre}{_shingles_cte(source, n).lstrip()},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, {", ".join(band_exprs)} FROM sig),
+cand AS (
+{band_joins}
+)
+SELECT c.doc_a, c.doc_b,
+       round(({agree})::DOUBLE / {num_perm}, {ROUND}) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE round(({agree})::DOUBLE / {num_perm}, {ROUND}) >= {threshold}"""
+
+
+def _lsh_bucket_cte(bits: int, n_tables: int, seed: int, dim: int) -> str:
+    """bk(vec_id, b_0..b_{T-1}) — per-table sign-LSH bucket ids over the
+    quantized embedding, the exact twin of similarity.lsh_bucketize.
+    Quantization (floor(x*10000 + 0.5)) and integer-valued hyperplanes
+    keep every dot product an exact integer < 2^53, so the sign — and
+    therefore the bucket and the candidate SET — is bit-identical
+    between numpy (engine) and DuckDB (this oracle)."""
+    from ..operators.similarity import LSH_VEC_SCALE, _hyperplanes
+
+    table_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        bit_terms = []
+        for bidx in range(bits):
+            plit = "[" + ", ".join(
+                repr(float(v)) for v in planes[bidx]
+            ) + "]::DOUBLE[]"
+            bit_terms.append(
+                f"(CASE WHEN list_dot_product(q, {plit}) > 0 "
+                f"THEN {2 ** bidx} ELSE 0 END)"
+            )
+        table_cols.append("(" + " + ".join(bit_terms) + f")::BIGINT AS b_{t}")
+    cols = ",\n         ".join(table_cols)
+    return f"""
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {LSH_VEC_SCALE!r} + 0.5)) AS q
+  FROM embeddings
+),
+bk AS (
+  SELECT vec_id,
+         {cols}
+  FROM qv
+)"""
+
+
+def lsh_ann_topk_sql(query_vec: list[float], k: int = 10, bits: int = 6,
+                     n_tables: int = 4, seed: int = 42) -> str:
+    """Exact twin of similarity.lsh_ann_topk: the candidate set is
+    every vector sharing the query's bucket in ANY table (same probes,
+    computed by the same integer arithmetic), scored by exact cosine
+    rounded to {ROUND} with the (cosine desc, vec_id asc) tie-break."""
+    import math
+
+    from ..operators.similarity import lsh_query_buckets
+
+    probes = lsh_query_buckets(query_vec, bits, n_tables, seed)
+    probe_pred = " OR ".join(f"b_{t} = {b}" for t, b in probes)
+    qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    qnorm = repr(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
+    return f"""WITH {_lsh_bucket_cte(bits, n_tables, seed, len(query_vec)).lstrip()},
+cand AS (SELECT vec_id FROM bk WHERE {probe_pred}),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], {qlit})
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * {qnorm}) AS cos
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+SELECT vec_id, round(cos, {ROUND}) AS cosine
+FROM scored
+ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def lsh_near_pairs_sql(threshold: float, bits: int = 6, n_tables: int = 8,
+                       seed: int = 42, dim: int = 64) -> str:
+    """Exact twin of similarity.lsh_near_pairs: per-table bucket
+    self-joins (same integer-exact buckets as the engine), deduped,
+    then exact cosine ≥ threshold on the ROUNDED value."""
+    band_joins = "\n  UNION\n".join(
+        f"""  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bk a JOIN bk b ON a.b_{t} = b.b_{t}
+  WHERE a.vec_id < b.vec_id"""
+        for t in range(n_tables)
+    )
+    return f"""WITH {_lsh_bucket_cte(bits, n_tables, seed, dim).lstrip()},
+cand AS (
+{band_joins}
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         round(
+           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+           {ROUND}) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.doc_a
+  JOIN embeddings eb ON eb.vec_id = c.doc_b
+)
+SELECT doc_a, doc_b, cosine FROM ver WHERE cosine >= {threshold}"""
+
+
 def snippets_sql(query: str, k: int = 10, length: int = 160) -> str:
     """Exact twin of operators/snippets.py_snippet over the hydrated
     BM25 top-k: 0-based term-occurrence positions (per-character scan,
