@@ -370,6 +370,15 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_rows(synthesize_assets(spark, n=100), dim=16)
 
 
+def _q_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding generation (mapInPandas iterator contract, per-worker
+    # backend init) — deterministic hashing backend, exploded to
+    # driver-hashable rows with an exact md5-derived DuckDB oracle
+    from oboyu_spark.operators.embed import embedding_rows
+
+    return embedding_rows(_docs(spark, sf_dir), dim=8)
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A7: database-statistics rollup
     from oboyu_spark.operators.termindex import corpus_stats
@@ -450,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
+        "embed_docs": _q_embed_docs,
         "corpus_stats": _q_corpus_stats,
         "path_filtered": _q_path_filtered,
         "snippets": _q_snippets,
@@ -503,6 +513,7 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(
             num_perm=16, bands=8, threshold=0.5
         ),
+        "embed_docs": O.embedding_rows_sql(dim=8),
         "corpus_stats": """
 SELECT count(*)::BIGINT AS n_rows,
        count(DISTINCT doc_id)::BIGINT AS n_docs,

@@ -47,6 +47,63 @@ def available() -> dict[str, bool]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Lib-free lite tier (N1-N3 fallback): NFKC + wave-dash removal +
+# prolonged-sound-run collapse + line-ending standardization.
+#
+# APPROXIMATE vs the full chain: no mojibake repair (ftfy) and none of
+# neologdn's exhaustive repeat-shortening / inter-JP space removal —
+# but it reproduces the reference's own normalization TESTS
+# (tests/crawler/test_japanese.py:35-57, test_encoding_detector.py:163)
+# with zero dependencies: NFKC subsumes zen-to-han for digits/ASCII
+# (mojimoji.zen_to_han(kana=False) over U+FF01-FF5E + U+3000) and
+# additionally folds half-width kana to full-width, which neologdn's
+# NFKC pass does too.
+# ---------------------------------------------------------------------------
+
+_ZEN_ASCII = "".join(chr(c) for c in range(0xFF01, 0xFF5F))  # ！..～
+_HAN_ASCII = "".join(chr(c) for c in range(0x21, 0x7F))      # !..~
+
+
+def zen_to_han_expr(col):
+    """Full-width ASCII/digit → half-width as a codegen'd JVM
+    ``translate`` (plus ideographic space → space): the width-only slice
+    of the lite chain for hot paths that can't afford a python UDF.
+    Kana are untouched (mojimoji zen_to_han(kana=False) semantics)."""
+    return F.translate(col, "　" + _ZEN_ASCII, " " + _HAN_ASCII)
+
+
+def py_ja_normalize_lite(text: str | None) -> str:
+    """Driver-side / oracle twin of ja_normalize_lite_udf."""
+    import re
+    import unicodedata
+
+    if not text:
+        return ""
+    t = unicodedata.normalize("NFKC", text)
+    # neologdn removes wave dashes/tildes entirely (its test contract);
+    # NFKC already folded U+FF5E to ~
+    t = re.sub("[~∼∽〜〰]", "", t)
+    # collapse prolonged-sound-mark runs (ーー → ー), neologdn-style
+    t = re.sub("ー{2,}", "ー", t)
+    # reference N4: unix line endings, at most one blank line
+    t = t.replace("\r\n", "\n").replace("\r", "\n")
+    t = re.sub(r"\n{3,}", "\n\n", t)
+    return t
+
+
+def ja_normalize_lite_udf():
+    """The lib-free N1-N3 fallback as one vectorized pandas UDF. Always
+    available; use ``ja_normalize_udf`` when the real libraries are
+    installed on the executors."""
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(py_ja_normalize_lite)
+
+    return _norm
+
+
 def ja_normalize_udf(fix_text: bool = True, neologdn_norm: bool = True,
                      zen_to_han: bool = True):
     """N1-N3 chain as one vectorized pandas UDF. Raises ImportError up

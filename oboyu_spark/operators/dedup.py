@@ -119,13 +119,27 @@ def ngram_jaccard_pairs(
     self-join; only safe on corpora known to be boilerplate-free).
     """
     sh = doc_shingles(docs, n, id_col, text_col)
+    if max_shingle_df:
+        # the shingle frame feeds candidate generation, sizes AND the
+        # exact-verify joins — persist it so the tokenize+explode
+        # lineage runs once, not once per consumer (the operator owns
+        # this; MEMORY_AND_DISK is LRU-evictable so an unpersist is
+        # optional — callers holding many results can
+        # spark.catalog.clearCache() between batches)
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df:
-        # candidate generation over rare shingles only (doc_shingles
-        # owns the df-cap filter); NB the shingle lineage is evaluated
-        # once per join side per action — at real scale persist or
-        # checkpoint `sh` upstream before calling this
-        cand_sh = doc_shingles(docs, n, id_col, text_col, max_shingle_df)
+        # candidate generation over rare shingles only, derived from
+        # the SAME persisted frame (df-cap as a semi-join)
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(rare, "shingle", "left_semi")
         a = cand_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = cand_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         cand = (
@@ -180,6 +194,8 @@ def winnowing_fingerprints(
     window: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "md5",
+    max_chars: int | None = None,
 ) -> DataFrame:
     """(doc_id, fp) — the distinct window-min k-gram hashes that make a
     document's winnowing fingerprint set (the MOSS local-fingerprint
@@ -187,25 +203,43 @@ def winnowing_fingerprints(
     shares a run of ≥ k + window − 1 normalized characters).
 
     Fully relational: char k-grams of the lowercased ws-collapsed text,
-    md5 per k-gram (bit-identical string in DuckDB → exact oracle),
-    rolling min over `window` consecutive positions, distinct. One
-    row per character — at 100 TB run it on truncated/normalized text
-    or behind a sampling filter; the plan itself is a single window
-    function over (doc, position), partition-local after one shuffle.
+    one hash per k-gram, rolling min over `window` consecutive
+    positions, distinct. The plan is a single window function over
+    (doc, position), partition-local after one shuffle.
+
+    Scale knobs (owned by the operator, not the caller):
+
+    - ``hash_mode="md5"``   — 32-char hex strings; bit-identical in
+      DuckDB → the exact-oracle path.
+    - ``hash_mode="xxh64"`` — 8-byte longs (Spark's xxhash64 per
+      k-gram): 4× narrower rows through the explode+window shuffle,
+      no hex encode — the 100 TB path. Selection positions differ
+      from md5 mode (window-min is over hash order) but the MOSS
+      shared-run guarantee holds identically in both modes (pinned
+      by a property test).
+    - ``max_chars`` — truncate the normalized text before k-gramming,
+      bounding the per-doc row blowup (a 1 MB doc is 10⁶ exploded
+      rows otherwise). Fingerprints equal those of the pre-truncated
+      text by construction.
     """
     from pyspark.sql import Window as W
 
     from ..functions.text import collapse_whitespace
 
+    if hash_mode not in ("md5", "xxh64"):
+        raise ValueError(f"hash_mode={hash_mode!r} not in ('md5', 'xxh64')")
+    hash_fn = "md5" if hash_mode == "md5" else "xxhash64"
+    t = F.lower(collapse_whitespace(F.col(text_col)))
+    if max_chars is not None:
+        t = F.substring(t, 1, max_chars)
     norm = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.lower(collapse_whitespace(F.col(text_col))).alias("t"),
+        F.col(id_col).alias("doc_id"), t.alias("t")
     ).filter(F.length("t") >= k)
     kg = norm.select(
         "doc_id",
         F.posexplode(
             F.expr(f"transform(sequence(1, length(t) - {k - 1}), "
-                   f"i -> md5(substring(t, i, {k})))")
+                   f"i -> {hash_fn}(substring(t, i, {k})))")
         ).alias("i", "h"),
     )
     w = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)

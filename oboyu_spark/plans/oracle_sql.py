@@ -427,14 +427,21 @@ FROM {table}"""
 
 
 def winnow_fingerprints_sql(k: int = 8, window: int = 4,
-                            source: str = "documents") -> str:
-    """Exact twin of dedup.winnowing_fingerprints: md5 char-k-gram
-    hashes of the lowercased ws-collapsed text, rolling window-min,
-    distinct selected hashes per doc."""
+                            source: str = "documents",
+                            max_chars: int | None = None) -> str:
+    """Exact twin of dedup.winnowing_fingerprints (hash_mode='md5'):
+    md5 char-k-gram hashes of the lowercased ws-collapsed text,
+    rolling window-min, distinct selected hashes per doc. ``max_chars``
+    mirrors the engine's operator-owned truncation knob."""
+    trunc = (
+        f"substr(lower(trim(regexp_replace(text, '{WS_RE2}+', ' ', 'g'))), 1, {max_chars})"
+        if max_chars is not None
+        else f"lower(trim(regexp_replace(text, '{WS_RE2}+', ' ', 'g')))"
+    )
     return f"""
 WITH n AS (
   SELECT doc_id,
-         lower(trim(regexp_replace(text, '{WS_RE2}+', ' ', 'g'))) AS t
+         {trunc} AS t
   FROM {source}
 ),
 kg AS (
@@ -821,6 +828,20 @@ SELECT asset_id, kind, dim_idx,
        ('0x' || substr(dg, 2 * dim_idx + 1, 2))::UBIGINT::DOUBLE / 128.0
          - 1.0 AS value
 FROM digests CROSS JOIN dims"""
+
+
+def embedding_rows_sql(dim: int = 8, table: str = "documents") -> str:
+    """Exact twin of embed.embedding_rows (hashing backend): per-dim
+    value = u32(md5(text ':' d)[:8]) / 2^31 − 1, squeezed through the
+    same IEEE float32 round-trip the engine's array<float> applies.
+    Every pre-round step is exact, so the 6dp round agrees bit-for-bit.
+    """
+    return f"""
+WITH dims AS (SELECT range::INT AS dim_idx FROM range({dim}))
+SELECT doc_id, dim_idx,
+       round(((('0x' || substr(md5(coalesce(text, '') || ':' || dim_idx::VARCHAR), 1, 8))::UBIGINT)::DOUBLE
+              / 2147483648.0 - 1.0)::FLOAT::DOUBLE, {ROUND}) AS value
+FROM {table} CROSS JOIN dims"""
 
 
 def rrf_fusion_sql(query_a: str, query_b: str, k: int = 20,

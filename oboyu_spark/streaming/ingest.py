@@ -57,16 +57,24 @@ def handle_batch_factory(index_dir: str):
     """foreachBatch handler with two replay guards: the batch manifest
     (fast path — skip a batch id already finalized) and, for the crash
     window between a completed append and the manifest write, an
-    anti-join of the batch's doc keys against the live docmap so a
+    anti-join of the batch's doc keys against the LIVE docmap keys so a
     replayed batch re-appends only keys that did NOT land (usually
     none). Together these make the append effectively exactly-once
     without requiring the manifest write to be atomic with the index
-    commit."""
+    commit.
+
+    Contract: the stream is APPEND-ONLY ON KEYS. The anti-join compares
+    keys, not content — a re-emitted doc_id with changed text is
+    dropped (updates must go through ``sync_docs``, which diffs the
+    content fingerprint). Tombstoned doc_ints are filtered out of the
+    docmap before the anti-join, so a key deleted via ``delete_docs``
+    and later re-emitted on the stream IS re-added — same behavior
+    whether or not ``compact_index`` has run in between."""
     import os
 
     from pyspark.sql import functions as F
 
-    from ..operators.postings import append_docs
+    from ..operators.postings import append_docs, load_tombstones
 
     def handle_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -74,10 +82,15 @@ def handle_batch_factory(index_dir: str):
         if int(batch_id) in _done_batches(index_dir):
             return  # replay of a fully-finalized batch — idempotent skip
         if os.path.isdir(f"{index_dir}/docmap"):
-            existing = (
-                batch_df.sparkSession.read.parquet(f"{index_dir}/docmap")
-                .select("doc_id")
+            docmap = batch_df.sparkSession.read.parquet(
+                f"{index_dir}/docmap"
             )
+            tomb = load_tombstones(index_dir)
+            if tomb:
+                docmap = docmap.filter(
+                    ~F.col("doc_int").isin([int(x) for x in tomb])
+                )
+            existing = docmap.select("doc_id")
             batch_df = batch_df.join(existing, "doc_id", "left_anti")
             if batch_df.isEmpty():
                 _mark_batch_done(index_dir, batch_id)

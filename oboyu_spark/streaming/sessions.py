@@ -12,6 +12,23 @@ batches in, assigned rows out.
 Semantics match the batch operator exactly on any prefix of the
 stream: a new session starts when the floored-epoch gap to the
 previous turn of the same conversation exceeds ``gap_minutes``.
+
+Late-data contract (cross-batch out-of-order events): an event older
+than the conversation's high-water mark can only arrive in a LATER
+micro-batch (within a batch the rows are time-sorted first).
+
+- It NEVER rewinds state: the stored last_ts is the max event time
+  seen, so one straggler cannot make the next on-time event open a
+  spurious session.
+- With ``late_tolerance_minutes=None`` (default) it is assigned to the
+  conversation's CURRENT session — prefix semantics: replaying the
+  stream in order reproduces the batch operator exactly (pinned by
+  test), and a late event merges forward rather than re-opening
+  history.
+- With a finite tolerance, events older than ``high_water −
+  tolerance`` are DROPPED (the watermark-style cutoff) — they are too
+  old to assign meaningfully and would otherwise glue two closed
+  sessions together.
 """
 
 from __future__ import annotations
@@ -31,8 +48,11 @@ OUT_SCHEMA = (
 STATE_SCHEMA = "last_ts long, cur_idx int"
 
 
-def make_session_assigner(gap_minutes: int = 30):
+def make_session_assigner(gap_minutes: int = 30,
+                          late_tolerance_minutes: int | None = None):
     gap_s = gap_minutes * 60
+    tol_s = None if late_tolerance_minutes is None \
+        else late_tolerance_minutes * 60
 
     def assign(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -45,18 +65,27 @@ def make_session_assigner(gap_minutes: int = 30):
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "turn_idx"], ignore_index=True)
         idxs = []
+        keep = []
         for t in rows["ts"]:
             te = int(pd.Timestamp(t).value // 1_000_000_000)  # floor epoch s
+            if (tol_s is not None and last_ts is not None
+                    and te < last_ts - tol_s):
+                keep.append(False)  # below the lateness cutoff: drop
+                continue
             if last_ts is not None and te - last_ts > gap_s:
                 cur_idx += 1
             idxs.append(cur_idx)
-            last_ts = te
+            keep.append(True)
+            # high-water mark: a late (te < last_ts) event merges into
+            # the current session but never rewinds state
+            last_ts = te if last_ts is None else max(last_ts, te)
         state.update((last_ts, cur_idx))
+        out = rows[pd.Series(keep, index=rows.index)]
         yield pd.DataFrame(
             {
                 "conv_id": conv_id,
-                "turn_idx": rows["turn_idx"],
-                "ts": rows["ts"],
+                "turn_idx": out["turn_idx"],
+                "ts": out["ts"],
                 "session_idx": idxs,
                 "session_id": [f"{conv_id}#{i}" for i in idxs],
             }
@@ -71,18 +100,21 @@ def sessionize_stream(
     output_dir: str,
     checkpoint_dir: str,
     gap_minutes: int = 30,
+    late_tolerance_minutes: int | None = None,
     schema: str = TRANSCRIPT_SCHEMA,
     trigger_once: bool = True,
 ):
     """Start (and by default run-once) the stateful sessionization
     stream writing assigned turns to parquet. Re-running with the same
-    checkpoint resumes session ordinals where the last run stopped."""
+    checkpoint resumes session ordinals where the last run stopped.
+    See the module docstring for the late-data contract controlled by
+    ``late_tolerance_minutes``."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     assigned = (
         stream.select("conv_id", "turn_idx", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            make_session_assigner(gap_minutes),
+            make_session_assigner(gap_minutes, late_tolerance_minutes),
             OUT_SCHEMA,
             STATE_SCHEMA,
             "append",

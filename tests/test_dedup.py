@@ -172,3 +172,40 @@ def test_winnowing_shared_run_guarantee(spark):
     all_kg = {hashlib.md5(norm[i:i + k].encode()).hexdigest()
               for i in range(len(norm) - k + 1)}
     assert by_doc[1] < all_kg
+
+    # xxh64 long-hash mode: same MOSS guarantee, 8-byte fingerprints
+    fps64 = D.winnowing_fingerprints(docs, k=k, window=w,
+                                     hash_mode="xxh64").collect()
+    by64 = {}
+    for r in fps64:
+        by64.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by64[1] & by64[2], "xxh64 mode must keep the shared-run guarantee"
+    assert all(isinstance(v, int) for v in by64[1]), "long fingerprints"
+    assert not (by64[3] & by64[1]) and not (by64[3] & by64[2])
+
+
+def test_winnowing_max_chars_truncation(spark):
+    """max_chars is operator-owned: fingerprints of a max_chars-capped
+    run equal those of the pre-truncated text, and a long tail beyond
+    the cap contributes no rows (bounding the explode blowup)."""
+    head = "a shared deterministic head of text for the cap test"
+    rows_full = [(1, head + " " + ("tail " * 500))]
+    rows_cut = [(1, (head + " " + ("tail " * 500))[:60])]
+    # NB the engine truncates AFTER whitespace-collapse; this fixture
+    # has no runs of whitespace, so raw slicing matches.
+    docs_full = spark.createDataFrame(rows_full, "doc_id long, text string")
+    docs_cut = spark.createDataFrame(rows_cut, "doc_id long, text string")
+    capped = {r["fp"] for r in
+              D.winnowing_fingerprints(docs_full, k=8, window=4,
+                                       max_chars=60).collect()}
+    pre = {r["fp"] for r in
+           D.winnowing_fingerprints(docs_cut, k=8, window=4).collect()}
+    assert capped == pre and capped
+    uncapped = {r["fp"] for r in
+                D.winnowing_fingerprints(docs_full, k=8, window=4).collect()}
+    assert len(uncapped) > len(capped)
+
+
+def test_winnowing_bad_hash_mode(spark, docs):
+    with pytest.raises(ValueError):
+        D.winnowing_fingerprints(docs, hash_mode="sha1")

@@ -1,0 +1,67 @@
+"""Embedding generation operator: mapInPandas plumbing, deterministic
+hashing backend, loud real-model gate, and composition with the
+similarity operators (the embeddings it makes are first-class inputs
+to cosine_topk / lsh / ivf)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oboyu_spark.operators import embed as E
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"document number {i} about topic {i % 5}") for i in range(40)]
+    rows.append((40, ""))  # empty text must embed, not crash
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_embed_docs_shape_and_determinism(spark, docs):
+    e = E.embed_docs(docs, dim=16)
+    assert e.schema["embedding"].dataType.simpleString() == "array<float>"
+    rows = e.collect()
+    assert len(rows) == 41
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    # deterministic across runs and partitionings
+    again = {r["doc_id"]: r["embedding"]
+             for r in E.embed_docs(docs.repartition(7), dim=16).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["embedding"]
+
+
+def test_embed_matches_python_twin(spark, docs):
+    got = {r["doc_id"]: r["embedding"]
+           for r in E.embed_docs(docs, dim=4).collect()}
+    for d, t in [(0, "document number 0 about topic 0"), (40, "")]:
+        exp = []
+        for i in range(4):
+            h = hashlib.md5(f"{t}:{i}".encode()).hexdigest()
+            exp.append(np.float32(int(h[:8], 16) / 2147483648.0 - 1.0))
+        assert got[d] == pytest.approx([float(x) for x in exp], abs=0)
+
+
+def test_embedding_rows_projection(spark, docs):
+    rows = E.embedding_rows(docs, dim=4).collect()
+    assert len(rows) == 41 * 4
+    assert {r["dim_idx"] for r in rows} == {0, 1, 2, 3}
+    assert all(-1.0 <= r["value"] <= 1.0 for r in rows)
+
+
+def test_embeddings_feed_similarity(spark, docs):
+    """embed_docs output slots straight into the ANN operators."""
+    from oboyu_spark.operators.similarity import cosine_topk
+
+    emb = E.embed_docs(docs, dim=16).withColumnRenamed("doc_id", "vec_id")
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    top = cosine_topk(emb, [float(x) for x in q], k=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_real_model_gate_is_loud(spark, docs):
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        E.embed_docs(docs, dim=16, model="all-MiniLM-L6-v2")

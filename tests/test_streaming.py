@@ -87,6 +87,112 @@ def test_replay_of_finalized_batch_is_skipped(spark, tmp_path):
     assert load_meta(idx)["n_docs"] == n0 + n_extra  # not double-indexed
 
 
+def test_replay_guard_readds_tombstoned_keys(spark, tmp_path):
+    """ADVICE r2: the anti-join must ignore tombstoned doc_ints — a key
+    deleted via delete_docs and then re-emitted on the stream is
+    re-added, not silently dropped (same behavior pre/post compaction)."""
+    from oboyu_spark.operators.postings import delete_docs, load_tombstones
+    from oboyu_spark.streaming.ingest import handle_batch_factory
+
+    idx = str(tmp_path / "idx")
+    base = synthesize_transcripts(spark, n_convs=10, max_turns=4, seed=3)
+    base_docs = turns_as_docs(base).select("doc_id", "text")
+    build_index(base_docs, idx, shard_size=50, salt_chunk=60,
+                shards_per_part=2, id_assign_partitions=4)
+    n0 = load_meta(idx)["n_docs"]
+
+    victim = base_docs.limit(1).collect()[0]
+    delete_docs(spark, idx, [victim["doc_id"]])
+    assert load_tombstones(idx)  # tombstoned, NOT compacted
+
+    handler = handle_batch_factory(idx)
+    re_emit = spark.createDataFrame(
+        [(victim["doc_id"], victim["text"])], "doc_id string, text string"
+    )
+    handler(re_emit, 7)
+    # stats: finalize counts LIVE docs — one tombstoned, one re-added
+    assert load_meta(idx)["n_docs"] == n0
+    # the deleted key came back: the docmap now holds its old
+    # (tombstoned) row AND a new live row
+    from pyspark.sql import functions as F
+    rows = (
+        spark.read.parquet(f"{idx}/docmap")
+        .filter(F.col("doc_id") == victim["doc_id"])
+    )
+    assert rows.count() == 2
+    live = rows.filter(~F.col("doc_int").isin(
+        [int(x) for x in load_tombstones(idx)]))
+    assert live.count() == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the assigner directly."""
+
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+
+def _assign_batch(assigner, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return list(assigner(("c1",), iter([pdf]), state))[0]
+
+
+def test_sessionization_late_event_never_rewinds_state():
+    """Late-data contract part 1 (default, no tolerance): a cross-batch
+    late event merges into the CURRENT session and does not rewind the
+    high-water mark — the next on-time event is gapped against the max
+    ts seen, exactly as the documented prefix semantics say."""
+    from oboyu_spark.streaming.sessions import make_session_assigner
+
+    assigner = make_session_assigner(gap_minutes=30)
+    st = _FakeState()
+    out1 = _assign_batch(assigner, st, [
+        ("c1", 0, "2025-01-01 10:00:00"), ("c1", 1, "2025-01-01 10:10:00"),
+    ])
+    assert list(out1["session_idx"]) == [0, 0]
+    # batch 2: one late straggler (09:59 < high water 10:10)
+    out2 = _assign_batch(assigner, st, [("c1", 2, "2025-01-01 09:59:00")])
+    assert list(out2["session_idx"]) == [0]  # merged, not a new session
+    # batch 3: 10:35 is 25 min after the high water (10:10) → SAME
+    # session; had the straggler rewound last_ts to 09:59 this would
+    # have opened a spurious new session (36 min gap)
+    out3 = _assign_batch(assigner, st, [("c1", 3, "2025-01-01 10:35:00")])
+    assert list(out3["session_idx"]) == [0]
+
+
+def test_sessionization_late_tolerance_drops():
+    """Late-data contract part 2: with a finite tolerance, events older
+    than high_water − tolerance are dropped; newer-but-late events
+    still merge."""
+    from oboyu_spark.streaming.sessions import make_session_assigner
+
+    assigner = make_session_assigner(gap_minutes=30,
+                                     late_tolerance_minutes=5)
+    st = _FakeState()
+    _assign_batch(assigner, st, [
+        ("c1", 0, "2025-01-01 10:00:00"), ("c1", 1, "2025-01-01 10:10:00"),
+    ])
+    # 11 minutes late > 5 min tolerance → dropped
+    out = _assign_batch(assigner, st, [("c1", 2, "2025-01-01 09:59:00")])
+    assert len(out) == 0
+    # 3 minutes late ≤ tolerance → kept, merged into current session
+    out = _assign_batch(assigner, st, [("c1", 3, "2025-01-01 10:07:00")])
+    assert list(out["session_idx"]) == [0]
+    # state unaffected by the drop: 10:35 still gaps against 10:10
+    out = _assign_batch(assigner, st, [("c1", 4, "2025-01-01 10:35:00")])
+    assert list(out["session_idx"]) == [0]
+
+
 def test_windowed_turn_counts_with_watermark(spark, tmp_path):
     """Append-mode watermark semantics: only FINALIZED windows (end <
     watermark) reach the sink, their counts equal the batch groupBy,
