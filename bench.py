@@ -86,6 +86,7 @@ def main() -> None:
         )
         extras["n_postings"] = meta["n_postings"]
         extras["compressed_payload_bytes"] = meta["compressed_payload_bytes"]
+        extras["build_phase_seconds"] = meta.get("phase_seconds")
 
         queries = [q["text"] for q in generate_queries()]
 

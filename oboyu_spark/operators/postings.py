@@ -483,21 +483,27 @@ def _build_one_part(
 
     from .termindex import with_tokens
 
-    toks = with_tokens(
-        sub, "text", "tokens", min_token_length, stop_words
-    ).withColumn("dl", F.size("tokens"))
-    toks = toks.persist()
-
-    # docmap for this part — straight projection, no join, no agg.
     # fp = whitespace-normalized content hash, the change-detection key
     # (reference change_detector.py:64-105 uses file hashes; here the
     # doc IS the unit) — sync_docs diffs against it without ever
-    # re-reading staged text.
+    # re-reading staged text. Computed HERE, in the same projection as
+    # tokenization, so the raw text column can be DROPPED before the
+    # persist: the cached frame carries (ids, dl, fp, tokens) instead
+    # of text + tokens (≈2× the text bytes), and the docmap/stats/tf
+    # consumers below never touch the wide column again.
     from ..functions.text import collapse_whitespace
 
+    toks = (
+        with_tokens(sub, "text", "tokens", min_token_length, stop_words)
+        .withColumn("dl", F.size("tokens"))
+        .withColumn("fp", F.md5(collapse_whitespace(F.col("text"))))
+        .drop("text")
+    )
+    toks = toks.persist()
+
+    # docmap for this part — straight projection, no join, no agg
     toks.select(
-        "doc_id", "doc_int", F.col("dl").cast("long").alias("dl"),
-        F.md5(collapse_whitespace(F.col("text"))).alias("fp"),
+        "doc_id", "doc_int", F.col("dl").cast("long").alias("dl"), "fp",
     ) \
         .repartitionByRange(4, "doc_int").sortWithinPartitions("doc_int") \
         .write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
@@ -560,8 +566,14 @@ def _build_one_part(
     # th1-first sort nesting: groups stay contiguous (full group key in
     # the sort) AND files keep globally ascending th1 → tight parquet
     # row-group min/max for the query-side term filter
+    # one encode partition per shard key (a part holds ≤ shards_per_part
+    # shards): the stream encoder is CPU-bound, so its parallelism must
+    # track the shard count, not a fraction of it — the r2 spp//4
+    # setting ran the most expensive action of the build on 4 tasks
+    # (ENCODE_PARTITIONS module knob exists for A/B experiments only)
+    n_enc = ENCODE_PARTITIONS or _spp(index_dir)
     postings = (
-        enriched.repartition(max(2, _spp(index_dir) // 4), "shard")
+        enriched.repartition(max(2, n_enc), "shard")
         .sortWithinPartitions("th1", "th2", "salt", "shard", "doc_int")
         .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
     )
@@ -603,6 +615,10 @@ def _build_one_part(
         "tokens_per_sec": round(tokens_part / elapsed, 2) if elapsed > 0 else None,
     }
 
+
+# A/B override for the encode-stage partition count (None = one
+# partition per shard, i.e. shards_per_part). Experiment-only knob.
+ENCODE_PARTITIONS: "int | None" = None
 
 _SPP_CACHE: dict[str, int] = {}
 
@@ -740,8 +756,10 @@ def build_index(
     bparts whose manifest rows are ``done`` (``fail_after_parts`` exists
     for the resume tests: raise after N parts to simulate a crash)."""
     spark = docs.sparkSession
+    t_stage0 = time.time()
     smeta = _stage(docs, index_dir, id_col, text_col, shard_size,
                    shards_per_part, id_assign_partitions)
+    stage_seconds = round(time.time() - t_stage0, 3)
     _SPP_CACHE[index_dir] = shards_per_part
 
     pending = [
@@ -777,9 +795,19 @@ def build_index(
         with ThreadPoolExecutor(max_workers=min(4, len(pending))) as ex:
             list(ex.map(run, pending))
 
-    return finalize_index(
+    t_parts1 = time.time()
+    meta = finalize_index(
         spark, index_dir, k1, b, min_token_length, shard_size, salt_chunk
     )
+    # phase decomposition for the bench report: staging (the single
+    # corpus materialization + id freeze), the concurrent part builds
+    # (wall clock, not CPU-sum — parts overlap), and finalize
+    meta["phase_seconds"] = {
+        "stage": stage_seconds,
+        "parts_wall": round(t_parts1 - t_stage0 - stage_seconds, 3),
+        "finalize": round(time.time() - t_parts1, 3),
+    }
+    return meta
 
 
 def load_meta(index_dir: str) -> dict:
