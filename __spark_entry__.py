@@ -117,6 +117,17 @@ def _q_bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.hydrate(top, docs, ["text", "lang"])
 
 
+def _q_reranked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-encoder rerank pipeline (reference reranker.py /
+    # search_orchestrator.py:76-95): BM25-prefetch limit×2, hydrate,
+    # score pairs with the deterministic hashing backend, top-limit by
+    # rerank score — exact-oracle checked end-to-end
+    from oboyu_spark.operators.rerank import rerank_search
+
+    return rerank_search(_docs(spark, sf_dir), BM25_Q1, limit=10,
+                         multiplier=2, round_digits=ROUND)
+
+
 def _q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q7: reference's shipping LIKE-fallback search
     return B.like_search(_docs(spark, sf_dir), LIKE_TERMS, k=20)
@@ -352,13 +363,18 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN (numpy k-means coarse quantizer → rows-only check; exact
-    # cosine verify over the probed lists)
-    from oboyu_spark.operators.similarity import ivf_topk
+    # IVF ANN over the seeded integer coarse quantizer with quantized
+    # (exact-integer) assignment — bit-identical candidate set in
+    # DuckDB, so this entry is exact-oracle checked end-to-end
+    # (assignment → probe filter → exact cosine top-k). The
+    # data-TRAINED k-means quantizer (the quality path) is verified by
+    # recall + partition-pruning pytest instead (test_similarity).
+    from oboyu_spark.operators.similarity import ivf_seeded_centroids, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, QVEC, k=10, n_lists=8, nprobe=3, sample=2000,
-                    round_digits=ROUND)
+    cent = ivf_seeded_centroids(len(QVEC), n_lists=8, seed=42)
+    return ivf_topk(emb, QVEC, k=10, n_lists=8, nprobe=3,
+                    centroids=cent, quantize=True, round_digits=ROUND)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_lucene_idf": _q_bm25_topk_lucene_idf,
         "bm25_hydrated": _q_bm25_hydrated,
+        "reranked_topk": _q_reranked_topk,
         "like_search": _q_like_search,
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_role_bm25": _q_transcripts_role_bm25,
@@ -507,6 +524,10 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "hybrid_topk": O.hybrid_topk_sql(BM25_Q1, QVEC, k_each=20, limit=10),
         "snippets": O.snippets_sql(BM25_Q1, k=10),
         "lsh_ann_topk": O.lsh_ann_topk_sql(QVEC, k=10, bits=6, n_tables=4),
+        "ivf_ann_topk": O.ivf_ann_topk_sql(QVEC, k=10, n_lists=8,
+                                           nprobe=3, seed=42),
+        "reranked_topk": O.reranked_topk_sql(BM25_Q1, limit=10,
+                                             multiplier=2),
         "embedding_near_pairs": O.lsh_near_pairs_sql(
             threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)
         ),
@@ -523,9 +544,7 @@ FROM documents""",
 SELECT doc_id, source FROM documents
 WHERE regexp_matches(source, '^src.*$')
   AND NOT regexp_matches(source, '^src0$')""",
-        # chunk_documents (free-text bodies) / ivf_ann_topk (numpy
-        # k-means quantizer): intentionally no oracle → the driver
-        # records the weaker rows-only check; both carry pytest
-        # verification instead (reference-pinned chunker, recall +
-        # partition-pruning plan tests for IVF).
+        # chunk_documents (free-text bodies): intentionally no oracle
+        # → the driver records the weaker rows-only check; it carries
+        # reference-pinned chunker pytest verification instead.
     }

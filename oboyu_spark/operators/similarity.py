@@ -224,23 +224,55 @@ def ivf_train_centroids(
     return cent
 
 
+def ivf_seeded_centroids(dim: int, n_lists: int = 8,
+                         seed: int = 42) -> np.ndarray:
+    """Data-independent coarse quantizer: ``n_lists`` seeded random
+    UNIT directions scaled to integers (floor(dir * LSH_VEC_SCALE
+    + 0.5)). Nearest-centroid over these is a random partition of the
+    sphere — a legitimate (train-free) coarse quantizer for
+    unit-normalized embeddings, and because every coefficient is an
+    exact small integer, quantized assignment (``quantize=True``
+    below) is bit-identical across numpy, Spark and DuckDB. This is
+    what lets the driver's ``ivf_ann_topk`` entry carry an exact
+    DuckDB oracle; the data-trained k-means quantizer
+    (``ivf_train_centroids``) stays the quality path, verified by
+    recall pytest instead."""
+    rng = np.random.default_rng(seed * 7_654_321 + n_lists)
+    dirs = rng.standard_normal((n_lists, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return np.floor(dirs * LSH_VEC_SCALE + 0.5)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> DataFrame:
     """(vec_id, embedding, list_id) — nearest-centroid assignment via a
     vectorized Arrow UDF (one matmul per batch). At 100 TB this is the
     partitioning key: ``ivf_build`` persists this frame partitioned by
-    list_id so ``ivf_search`` scans only the probed lists."""
+    list_id so ``ivf_search`` scans only the probed lists.
+
+    ``quantize=True`` assigns on the fixed-point vector
+    (floor(x*LSH_VEC_SCALE + 0.5)) against integer-valued centroids
+    (``ivf_seeded_centroids``): every distance term is then an exact
+    integer < 2^53 in float64, so the assignment — and therefore the
+    candidate SET — is reproducible bit-identically in DuckDB
+    (argmin ties break toward the lowest list index on both sides)."""
     cent = np.asarray(centroids, dtype=np.float64)
     cent_sq = (cent ** 2).sum(axis=1)
 
     @F.pandas_udf(T.IntegerType())
     def _assign(s: pd.Series) -> pd.Series:
         mat = np.stack(s.to_numpy()).astype(np.float64)
-        d = (mat ** 2).sum(axis=1)[:, None] - 2.0 * (mat @ cent.T) + cent_sq
+        if quantize:
+            # mat² is constant per row — argmin over cc − 2·x·c is the
+            # same ordering, and keeps every term integer-valued
+            d = cent_sq - 2.0 * (_quantize(mat) @ cent.T)
+        else:
+            d = (mat ** 2).sum(axis=1)[:, None] - 2.0 * (mat @ cent.T) + cent_sq
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return embeddings.select(
@@ -263,6 +295,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """One-shot IVF ANN top-k over an UN-materialized corpus: assigns
     every vector on the fly (a full scan + matmul — list_id is
@@ -274,8 +307,9 @@ def ivf_topk(
         centroids = ivf_train_centroids(
             embeddings, n_lists, sample, iters, seed, vec_col, id_col
         )
-    probes = _probe_lists(centroids, query_vec, nprobe)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probes = _probe_lists(centroids, query_vec, nprobe, quantize=quantize)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
+                          quantize=quantize)
     cand = assigned.filter(F.col("list_id").isin(probes)).select(
         "vec_id", "embedding"
     )
@@ -284,9 +318,15 @@ def ivf_topk(
 
 
 def _probe_lists(centroids: np.ndarray, query_vec: Sequence[float],
-                 nprobe: int) -> list[int]:
+                 nprobe: int, quantize: bool = False) -> list[int]:
+    cent = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
-    d = ((np.asarray(centroids, dtype=np.float64) - q[None, :]) ** 2).sum(axis=1)
+    if quantize:
+        # same exact-integer ordering as quantized assignment: q² is
+        # constant, so rank by cc − 2·q̂·c (ties → lowest list index)
+        d = (cent ** 2).sum(axis=1) - 2.0 * (cent @ _quantize(q))
+    else:
+        d = ((cent - q[None, :]) ** 2).sum(axis=1)
     return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
 
 

@@ -654,6 +654,101 @@ ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
 LIMIT {k}"""
 
 
+def ivf_ann_topk_sql(query_vec: list[float], k: int = 10, n_lists: int = 8,
+                     nprobe: int = 3, seed: int = 42) -> str:
+    """Exact twin of similarity.ivf_topk with seeded integer centroids
+    and quantize=True: nearest-centroid assignment on the fixed-point
+    vector is argmin over (c·c − 2·x̂·c) — every term an exact integer
+    < 2^53 in float64, so the per-row list_id (ties → lowest index, the
+    numpy argmin convention, reproduced by ORDER BY d2, idx) and hence
+    the candidate SET match the engine bit-identically. Probes are the
+    same python computation the engine uses, inlined as literals; final
+    scoring is exact cosine rounded to {ROUND} with the
+    (cosine desc, vec_id asc) tie-break."""
+    import math
+
+    from ..operators.similarity import (
+        LSH_VEC_SCALE, _probe_lists, ivf_seeded_centroids,
+    )
+
+    cent = ivf_seeded_centroids(len(query_vec), n_lists, seed)
+    probes = _probe_lists(cent, query_vec, nprobe, quantize=True)
+    rows = []
+    for idx in range(n_lists):
+        clit = "[" + ", ".join(repr(float(v)) for v in cent[idx]) + "]::DOUBLE[]"
+        cc = repr(float((cent[idx] ** 2).sum()))
+        rows.append(f"({idx}, {cc}, {clit})")
+    cent_values = ",\n         ".join(rows)
+    probe_in = ", ".join(str(p) for p in probes)
+    qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    qnorm = repr(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
+    return f"""WITH cent(idx, cc, c) AS (
+  VALUES {cent_values}
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {LSH_VEC_SCALE!r} + 0.5)) AS q
+  FROM embeddings
+),
+dist AS (
+  SELECT v.vec_id, c.idx,
+         c.cc - 2.0 * list_dot_product(v.q, c.c) AS d2
+  FROM qv v CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, idx AS list_id
+  FROM (SELECT vec_id, idx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, idx ASC) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+cand AS (SELECT vec_id FROM asg WHERE list_id IN ({probe_in})),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], {qlit})
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * {qnorm}) AS cos
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+SELECT vec_id, round(cos, {ROUND}) AS cosine
+FROM scored
+ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def reranked_topk_sql(query: str, limit: int = 10, multiplier: int = 2,
+                      max_length: int = 512) -> str:
+    """Exact twin of rerank.rerank_search with the hashing backend:
+    BM25-prefetch limit × multiplier (the H5 arithmetic,
+    search_orchestrator.py:76-95), then per-pair
+    sigmoid(u32(md5(query ␟ substr(text, 1, max_length·3)))[:8]/2^31−1)
+    — the pre-sigmoid chain is exact integer arithmetic over identical
+    UTF-8 bytes, and the sigmoid/rounding sit in the same float-noise
+    class as every other scored oracle (6-dp rounding both sides, cut
+    on the ROUNDED score)."""
+    qlit = query.replace("'", "''")
+    cut = max_length * 3
+    prefetch_sql = bm25_topk_sql(query, k=limit * multiplier)
+    return f"""WITH cand AS ({prefetch_sql}),
+hyd AS (
+  SELECT c.doc_id, d.text FROM cand c JOIN documents d USING (doc_id)
+),
+scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(
+           ('0x' || substr(md5('{qlit}' || chr(31) || substr(text, 1, {cut})),
+                           1, 8))::UBIGINT / 2147483648.0 - 1.0
+         ))) AS rerank_score
+  FROM hyd
+)
+SELECT doc_id, round(rerank_score, {ROUND}) AS rerank_score
+FROM scored
+ORDER BY round(rerank_score, {ROUND}) DESC, doc_id ASC
+LIMIT {limit}"""
+
+
 def lsh_near_pairs_sql(threshold: float, bits: int = 6, n_tables: int = 8,
                        seed: int = 42, dim: int = 64) -> str:
     """Exact twin of similarity.lsh_near_pairs: per-table bucket

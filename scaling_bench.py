@@ -212,9 +212,24 @@ def _write_bench_md(report: dict) -> None:
         "the N->4N executor criterion. Index content is bit-identical across",
         "all levels (asserted by n_postings and by tests/test_resume.py).",
     ]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.md"), "w") as fh:
+    # preserve the hand-written analysis sections (everything from the
+    # MANUAL marker on) — only the auto-generated scaling table above
+    # it is regenerated
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH.md")
+    manual_tail = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        if _MANUAL_MARK in old:
+            manual_tail = old[old.index(_MANUAL_MARK):]
+    with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+        if manual_tail:
+            fh.write("\n" + manual_tail)
+
+
+_MANUAL_MARK = "<!-- MANUAL -->"
 
 
 if __name__ == "__main__":

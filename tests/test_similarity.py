@@ -190,3 +190,42 @@ def test_ivf_topk_recall_and_determinism(spark, emb_df, vectors):
         assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert len(sizes) > 1 and sum(sizes.values()) == N
+
+
+def test_ivf_quantized_assignment_matches_numpy(spark, emb_df, vectors):
+    """quantize=True assignment (the exact-oracle path) must equal a
+    pure-numpy twin of the same fixed-point arithmetic — per-vector
+    list_id identity, ties toward the lowest list index."""
+    cent = S.ivf_seeded_centroids(DIM, n_lists=8, seed=42)
+    assert np.array_equal(cent, np.floor(cent))  # integer-valued
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in S.ivf_assign(emb_df, cent, quantize=True).collect()
+    }
+    qv = np.floor(vectors.astype(np.float64) * S.LSH_VEC_SCALE + 0.5)
+    d = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (qv @ cent.T)
+    exp = d.argmin(axis=1)
+    assert got == {i: int(exp[i]) for i in range(N)}
+
+
+def test_ivf_quantized_topk_exact_over_candidates(spark, emb_df, vectors):
+    """ivf_topk(quantize=True) == exact cosine top-k restricted to the
+    numpy-computed candidate set (the contract the DuckDB oracle
+    verifies end-to-end at driver time)."""
+    q = [float(x) for x in vectors[20]]
+    cent = S.ivf_seeded_centroids(DIM, n_lists=8, seed=42)
+    probes = S._probe_lists(cent, q, nprobe=3, quantize=True)
+    qv = np.floor(vectors.astype(np.float64) * S.LSH_VEC_SCALE + 0.5)
+    d = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (qv @ cent.T)
+    cand = [i for i in range(N) if int(d[i].argmin()) in probes]
+    assert 0 < len(cand) < N
+
+    got = S.ivf_topk(emb_df, q, k=5, n_lists=8, nprobe=3,
+                     centroids=cent, quantize=True).collect()
+    vn = vectors.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    cos = vn @ qn
+    exp = sorted(cand, key=lambda i: (-cos[i], i))[:5]
+    assert [r["vec_id"] for r in got] == exp
+    assert 20 in {r["vec_id"] for r in got}  # query's own vector probed
