@@ -1,0 +1,170 @@
+"""spark-submit job: interactive serving over a built index.
+
+    spark-submit --master local[8] oboyu_spark/jobs/serve_index.py \
+        --index /path/to/index_dir [--docs /path/to/documents.parquet] \
+        [--k 10] [--scorer taat|bmw]
+
+The reference serves interactively through its CLI query loop and MCP
+server (src/oboyu/cli/, src/oboyu/mcp/server.py:70-219 — a
+long-lived process holding the index open, answering one query at a
+time). This job is that surface re-expressed for Spark: a warm
+``IndexReader`` (tables persisted in executor memory, term-df memoized
+on the driver) answers line-oriented requests on stdin and emits one
+JSON object per request on stdout — trivially wrappable by an MCP
+adapter, a socket server, or a shell pipe.
+
+Request line formats:
+    a bare query string, or a JSON object
+    {"query": "...", "k": 10, "scorer": "taat"|"bmw",
+     "mode": "or"|"and", "hydrate": true, "rerank": true}
+
+``hydrate``/``rerank`` need ``--docs`` (the index stores postings and
+doc ids, not content — same separation as the reference's chunk
+store). ``rerank`` runs the cross-encoder stage (operators/rerank,
+hashing backend here) over the hydrated top-k, reference prefetch
+semantics included (k × multiplier candidates, truncate after).
+
+Response: {"query": ..., "seconds": ..., "results": [{"doc_id": ...,
+"score": ...} ...]} — plus "text"/"rerank_score" per row when
+hydration/rerank are on. Errors come back as {"error": ...} instead of
+killing the loop. EOF ends the server.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+
+
+def handle_request(
+    reader,
+    req: "str | dict[str, Any]",
+    docs: Optional[DataFrame] = None,
+    default_k: int = 10,
+    default_scorer: str = "taat",
+) -> dict[str, Any]:
+    """One request → one JSON-able response dict. Pure function of the
+    warm reader (+ optional docs frame) so tests can drive it without
+    a subprocess."""
+    if isinstance(req, str):
+        req = {"query": req}
+    query = req.get("query", "")
+    k = int(req.get("k", default_k))
+    scorer = req.get("scorer", default_scorer)
+    mode = req.get("mode", "or")
+    hydrate = bool(req.get("hydrate", False))
+    rerank = bool(req.get("rerank", False))
+    if (hydrate or rerank) and docs is None:
+        return {"error": "hydrate/rerank need --docs", "query": query}
+
+    t0 = time.time()
+    try:
+        if rerank:
+            from oboyu_spark.operators.bm25 import hydrate as hydrate_op
+            from oboyu_spark.operators.fusion import rerank_expansion
+            from oboyu_spark.operators.rerank import rerank as rerank_op
+
+            prefetch = reader.search(query, k=rerank_expansion(k),
+                                     scorer=scorer, mode=mode)
+            hyd = hydrate_op(prefetch.select("doc_id", "score"), docs,
+                             ["text"])
+            out = rerank_op(hyd, query, top_k=k, round_digits=6)
+            rows = [
+                {"doc_id": _json_id(r["doc_id"]),
+                 "rerank_score": r["rerank_score"]}
+                for r in out.collect()
+            ]
+        else:
+            res = reader.search(query, k=k, scorer=scorer, mode=mode)
+            if hydrate:
+                from oboyu_spark.operators.bm25 import hydrate as hydrate_op
+
+                res = hydrate_op(res.select("doc_id", "score"), docs,
+                                 ["text"])
+            cols = res.columns
+            rows = [
+                {c: _json_id(r[c]) for c in cols if c != "query_id"}
+                for r in res.collect()
+            ]
+    except Exception as exc:  # serve loops must not die on one bad query
+        return {"error": str(exc), "query": query}
+    return {"query": query, "seconds": round(time.time() - t0, 3),
+            "results": rows}
+
+
+def _json_id(v):
+    """numpy/Decimal-safe JSON scalar."""
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+def serve(reader, lines, docs=None, default_k=10, default_scorer="taat",
+          out=sys.stdout):
+    """The loop: one request line in, one JSON line out."""
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        req: "str | dict" = line
+        if line.startswith("{"):
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as exc:
+                print(json.dumps({"error": f"bad json: {exc}"}), file=out,
+                      flush=True)
+                continue
+        resp = handle_request(reader, req, docs=docs, default_k=default_k,
+                              default_scorer=default_scorer)
+        print(json.dumps(resp), file=out, flush=True)
+
+
+def _follow(path: str):
+    """Generator over request lines from a file or named pipe (FIFO).
+    A plain file is served to EOF; a FIFO blocks for writers, so
+    ``mkfifo req && spark-submit ... --requests req`` gives a live
+    request channel under spark-submit, whose JVM does not forward the
+    driver python's stdin."""
+    with open(path) as fh:
+        yield from fh
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--docs", help="documents parquet for hydrate/rerank")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--scorer", choices=["taat", "bmw"], default="taat")
+    ap.add_argument("--requests",
+                    help="read request lines from this file/FIFO instead "
+                         "of stdin (required under spark-submit — the "
+                         "JVM launcher does not forward stdin; plain "
+                         "`python serve_index.py` serves stdin fine)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from oboyu_spark.operators.searchidx import IndexReader
+
+    spark = SparkSession.builder.appName("oboyu_spark.serve_index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    reader = IndexReader(spark, args.index)
+    docs = spark.read.parquet(args.docs) if args.docs else None
+    # warm the caches before declaring readiness (first search pays
+    # materialization; a serving process should pay it at startup)
+    reader.search("warmup", k=1).collect()
+    print(json.dumps({"ready": True, "index": args.index,
+                      "n_docs": reader.meta.get("n_docs")}), flush=True)
+    lines = _follow(args.requests) if args.requests else sys.stdin
+    serve(reader, lines, docs=docs, default_k=args.k,
+          default_scorer=args.scorer)
+    reader.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Serving surface (jobs/serve_index): the line-oriented request loop
+over a warm IndexReader — plain search, hydrate, rerank, bad input,
+and search-parity with the batch path."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from oboyu_spark.jobs.serve_index import handle_request, serve
+from oboyu_spark.operators.postings import build_index
+from oboyu_spark.operators.searchidx import IndexReader, search_index
+from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    tr = synthesize_transcripts(spark, n_convs=60, max_turns=8, seed=11)
+    return turns_as_docs(tr).select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def served(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_idx"))
+    build_index(corpus, d, shard_size=200)
+    reader = IndexReader(spark, d)
+    yield reader, corpus, d
+    reader.close()
+
+
+def test_handle_plain_search_parity(spark, served):
+    reader, corpus, d = served
+    resp = handle_request(reader, "spark index search", default_k=5)
+    assert "error" not in resp and len(resp["results"]) == 5
+    batch = search_index(spark, d, "spark index search", k=5).collect()
+    assert [r["doc_id"] for r in resp["results"]] == \
+        [r["doc_id"] for r in batch]
+    assert [r["score"] for r in resp["results"]] == \
+        [r["score"] for r in batch]
+
+
+def test_handle_hydrate_and_rerank(served):
+    reader, corpus, _ = served
+    hyd = handle_request(
+        reader, {"query": "spark index", "k": 3, "hydrate": True},
+        docs=corpus,
+    )
+    assert len(hyd["results"]) == 3
+    assert all(r.get("text") for r in hyd["results"])
+
+    rr = handle_request(
+        reader, {"query": "spark index", "k": 3, "rerank": True},
+        docs=corpus,
+    )
+    assert len(rr["results"]) == 3
+    scores = [r["rerank_score"] for r in rr["results"]]
+    assert scores == sorted(scores, reverse=True)
+    # prefetch semantics: reranked ids come from the k×2 BM25 candidates
+    pre = handle_request(reader, {"query": "spark index", "k": 6})
+    assert {r["doc_id"] for r in rr["results"]} <= \
+        {r["doc_id"] for r in pre["results"]}
+
+
+def test_handle_errors_do_not_kill_loop(served):
+    reader, corpus, _ = served
+    assert "error" in handle_request(reader, {"query": "x", "rerank": True})
+
+    out = io.StringIO()
+    serve(reader, ["{bad json", "spark index", ""], docs=corpus, out=out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert len(lines) == 2  # blank line skipped
+    assert "error" in lines[0]
+    assert lines[1]["query"] == "spark index" and lines[1]["results"]
