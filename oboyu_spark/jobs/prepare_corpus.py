@@ -1,0 +1,84 @@
+"""spark-submit job: training-data corpus preparation.
+
+    spark-submit --master local[32] oboyu_spark/jobs/prepare_corpus.py \
+        --input /data/documents.parquet --output /data/prepared \
+        [--no-exact] [--near-threshold 0.5 | --no-near] \
+        [--min-quality 0.3] [--chunk-size 1024] [--chunk-overlap 256] \
+        [--embed-dim 64]
+
+Runs operators/pipeline.prepare_corpus (exact dedup → MinHash+LSH near
+dedup → quality filter → chunk → embed) and writes:
+
+    <output>/docs/        cleaned documents
+    <output>/chunks/      chunked rows (unless --no-chunk)
+    <output>/embeddings/  chunk embeddings (if --embed-dim)
+
+Prints one JSON line with per-stage counts (each count is one Spark
+action over the already-written parquet, not a recomputation of the
+lineage)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--no-exact", action="store_true")
+    ap.add_argument("--no-near", action="store_true")
+    ap.add_argument("--near-threshold", type=float, default=0.5)
+    ap.add_argument("--min-quality", type=float)
+    ap.add_argument("--no-chunk", action="store_true")
+    ap.add_argument("--chunk-size", type=int, default=1024)
+    ap.add_argument("--chunk-overlap", type=int, default=256)
+    ap.add_argument("--embed-dim", type=int)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from oboyu_spark.operators.pipeline import prepare_corpus
+
+    spark = SparkSession.builder.appName(
+        "oboyu_spark.prepare_corpus"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    res = prepare_corpus(
+        docs,
+        exact=not args.no_exact,
+        near_threshold=None if args.no_near else args.near_threshold,
+        min_quality=args.min_quality,
+        chunk_size=None if args.no_chunk else args.chunk_size,
+        chunk_overlap=args.chunk_overlap,
+        embed_dim=args.embed_dim,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    report: dict[str, object] = {"input_docs": n_in}
+    res["docs"].write.mode("overwrite").parquet(f"{args.output}/docs")
+    report["kept_docs"] = spark.read.parquet(f"{args.output}/docs").count()
+    if res["chunks"] is not None:
+        res["chunks"].write.mode("overwrite").parquet(f"{args.output}/chunks")
+        report["chunks"] = spark.read.parquet(f"{args.output}/chunks").count()
+    if res["embeddings"] is not None:
+        res["embeddings"].write.mode("overwrite").parquet(
+            f"{args.output}/embeddings"
+        )
+        report["embeddings"] = spark.read.parquet(
+            f"{args.output}/embeddings"
+        ).count()
+    report["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

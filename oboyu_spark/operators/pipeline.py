@@ -1,0 +1,108 @@
+"""Corpus-preparation pipeline: the composition a training-data run
+executes over raw documents before indexing/embedding at scale —
+exact dedup → near dedup → quality filter → chunk → embed.
+
+Every stage is an existing operator of this package (dedup.py,
+textstats.py, chunker.py, embed.py); this module only wires them with
+explicit, documented keep/drop policies. The composition stays LAZY —
+one logical plan per output — so Catalyst fuses the filter stages into
+the scans and nothing is materialized until the caller writes or
+counts. jobs/prepare_corpus.py is the spark-submit wrapper.
+
+Stage policies (the parts that are a decision, not a mechanism):
+
+- exact: keep the min-id document per whitespace-normalized md5
+  fingerprint (dedup.dedup_exact).
+- near: MinHash+LSH candidate pairs at ``near_threshold`` estimated
+  Jaccard; DROP the higher id of every pair. Greedy pair-based
+  removal over-removes on chains (a~b, b~c drops b and c even when
+  a≁c); the refinement at scale is connected components + one
+  representative per cluster — documented, not silently assumed.
+- quality: keep documents with textstats.quality_score >=
+  ``min_quality`` (composite length/punctuation/word-shape heuristic,
+  deterministic column expression).
+
+100 TB shape: exact dedup is one hash-aggregate; near dedup is the
+bucketed band join (no full cross product); quality is a zero-shuffle
+column predicate fused into the scan; chunking is posexplode over a
+pandas UDF; embedding is mapInPandas with per-worker model init. No
+stage collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def near_dup_drop_ids(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids to drop under the keep-lowest-id policy: every ``doc_b`` of
+    a MinHash+LSH candidate pair (doc_a < doc_b by construction) with
+    estimated Jaccard >= threshold."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands,
+                              threshold=threshold, n=n,
+                              id_col=id_col, text_col=text_col)
+    return pairs.select(F.col("doc_b").alias(id_col)).distinct()
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    exact: bool = True,
+    near_threshold: Optional[float] = 0.5,
+    min_quality: Optional[float] = None,
+    chunk_size: Optional[int] = 1024,
+    chunk_overlap: int = 256,
+    embed_dim: Optional[int] = None,
+    embed_model: str = "hashing",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, Any]:
+    """Compose the preparation stages over ``docs``.
+
+    Returns lazy DataFrames: ``{"docs": cleaned documents,
+    "chunks": chunked rows or None, "embeddings": chunk embeddings or
+    None}``. Pass ``near_threshold=None`` / ``min_quality=None`` /
+    ``chunk_size=None`` / ``embed_dim=None`` to skip a stage.
+    Embeddings are computed over CHUNKS when chunking is on (the
+    reference embeds chunks, not whole documents), else over docs."""
+    from .chunker import chunk_documents
+    from .dedup import dedup_exact
+    from .embed import embed_docs
+    from .textstats import quality_score
+
+    out = docs
+    if exact:
+        out = dedup_exact(out, id_col=id_col, text_col=text_col)
+    if near_threshold is not None:
+        drop = near_dup_drop_ids(out, threshold=near_threshold,
+                                 id_col=id_col, text_col=text_col)
+        # no forced broadcast: at web scale the drop set can be a large
+        # fraction of the corpus — let AQE pick the join strategy
+        out = out.join(drop, id_col, "left_anti")
+    if min_quality is not None:
+        out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+
+    chunks = None
+    embeddings = None
+    if chunk_size is not None:
+        chunks = chunk_documents(out, id_col=id_col, text_col=text_col,
+                                 chunk_size=chunk_size,
+                                 chunk_overlap=chunk_overlap)
+    if embed_dim is not None:
+        target = chunks if chunks is not None else out
+        target_id = "chunk_id" if chunks is not None else id_col
+        embeddings = embed_docs(target, dim=embed_dim, model=embed_model,
+                                id_col=target_id, text_col="text")
+    return {"docs": out, "chunks": chunks, "embeddings": embeddings}
