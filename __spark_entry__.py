@@ -345,6 +345,24 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_overlap=75)
 
 
+def _q_prepared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composed corpus-preparation pipeline over the dupdocs source:
+    # exact dedup → MinHash+LSH near dedup (keep-lowest-id) → quality
+    # filter — exact-oracle checked end-to-end, stage order and all
+    # (pipeline.prepare_corpus; SQL twin prepared_docs_sql)
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.operators.textstats import fingerprint_md5, quality_score
+
+    r = prepare_corpus(_dupdocs(spark, sf_dir), exact=True,
+                       near_threshold=0.5, near_num_perm=16, near_bands=8,
+                       min_quality=0.5, chunk_size=None)
+    return r["docs"].select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.dedup import minhash_lsh_pairs
 
@@ -473,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "prepared_docs": _q_prepared_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
@@ -528,6 +547,8 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
                                            nprobe=3, seed=42),
         "reranked_topk": O.reranked_topk_sql(BM25_Q1, limit=10,
                                              multiplier=2),
+        "prepared_docs": O.prepared_docs_sql(num_perm=16, bands=8,
+                                             threshold=0.5, min_quality=0.5),
         "embedding_near_pairs": O.lsh_near_pairs_sql(
             threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)
         ),

@@ -61,6 +61,9 @@ def prepare_corpus(
     docs: DataFrame,
     exact: bool = True,
     near_threshold: Optional[float] = 0.5,
+    near_num_perm: int = 16,
+    near_bands: int = 4,
+    near_n: int = 3,
     min_quality: Optional[float] = None,
     chunk_size: Optional[int] = 1024,
     chunk_overlap: int = 256,
@@ -87,7 +90,9 @@ def prepare_corpus(
         out = dedup_exact(out, id_col=id_col, text_col=text_col)
     if near_threshold is not None:
         drop = near_dup_drop_ids(out, threshold=near_threshold,
-                                 id_col=id_col, text_col=text_col)
+                                 num_perm=near_num_perm, bands=near_bands,
+                                 n=near_n, id_col=id_col,
+                                 text_col=text_col)
         # no forced broadcast: at web scale the drop set can be a large
         # fraction of the corpus — let AQE pick the join strategy
         out = out.join(drop, id_col, "left_anti")

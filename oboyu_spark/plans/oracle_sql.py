@@ -246,6 +246,25 @@ def _fp_sql(col: str = "text") -> str:
     return f"md5(trim(regexp_replace({col}, '{WS_RE2}+', ' ', 'g')))"
 
 
+def _quality_sql() -> str:
+    """The rounded composite quality score over columns named ``text``
+    and ``toks1`` — the exact twin of textstats.quality_score, shared
+    by text_profile_sql and prepared_docs_sql."""
+    return f"""round(
+         0.4 * least(length(text) / 500.0, 1.0)
+         + 0.3 * (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
+             / length(text) END) > 0.3 THEN 0.0
+             ELSE 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
+               / length(text) END) / 0.3 END)
+         + 0.3 * (CASE WHEN
+             (CASE WHEN len(toks1) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(toks1, x -> length(x)))::DOUBLE / len(toks1) END)
+             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END),
+         {ROUND})"""
+
+
 def text_profile_sql(table: str = "documents") -> str:
     stops = ", ".join(f"'{s}'" for s in _EN_STOPS)
     return f"""
@@ -276,19 +295,7 @@ SELECT doc_id,
        round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
          len(list_filter(toks, x -> list_contains([{stops}], x)))::DOUBLE
          / len(toks) END, {ROUND}) AS stopword_ratio,
-       round(
-         0.4 * least(length(text) / 500.0, 1.0)
-         + 0.3 * (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
-             / length(text) END) > 0.3 THEN 0.0
-             ELSE 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-               (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
-               / length(text) END) / 0.3 END)
-         + 0.3 * (CASE WHEN
-             (CASE WHEN len(toks1) = 0 THEN 0.0 ELSE
-              list_sum(list_transform(toks1, x -> length(x)))::DOUBLE / len(toks1) END)
-             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END),
-         {ROUND}) AS quality,
+       {_quality_sql()} AS quality,
        {_fp_sql()} AS fingerprint
 FROM base"""
 
@@ -586,6 +593,73 @@ FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
 WHERE round(({agree})::DOUBLE / {num_perm}, {ROUND}) >= {threshold}"""
+
+
+def prepared_docs_sql(num_perm: int = 16, bands: int = 8,
+                      threshold: float = 0.5, n: int = 3,
+                      min_quality: float = 0.5) -> str:
+    """Exact twin of pipeline.prepare_corpus's document stages over the
+    dupdocs source (documents + planted exact duplicates): exact dedup
+    (keep min doc_id per whitespace-normalized md5 fingerprint), then
+    MinHash+LSH near-dedup computed over the EXACT-DEDUPED set (stage
+    order matters — the engine computes pairs after exact removal)
+    dropping the higher id of every pair at >= threshold estimated
+    Jaccard, then the quality filter on the rounded composite score.
+    Every stage reuses the bit-identical machinery of its standalone
+    oracle (md5 fingerprints/signatures/band keys, integer agreement
+    ratios, 6-dp-rounded quality)."""
+    rows_per_band = num_perm // bands
+    sigs = ", ".join(
+        f"min(md5(shingle || ':{i}')) AS sig_{i}" for i in range(num_perm)
+    )
+    band_exprs = []
+    for bnd in range(bands):
+        cols = " || '|' || ".join(
+            f"sig_{bnd * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_exprs.append(f"md5({cols}) AS band_{bnd}")
+    band_joins = "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_{bnd} = b.band_{bnd}
+  WHERE a.doc_id < b.doc_id"""
+        for bnd in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""WITH {DUPDOCS_CTE},
+fp0 AS (SELECT doc_id, text, {_fp_sql()} AS fingerprint FROM dupdocs),
+keep1 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp0
+          GROUP BY fingerprint),
+kept1 AS (SELECT f.doc_id, f.text, f.fingerprint
+          FROM fp0 f JOIN keep1 k ON f.doc_id = k.doc_id),
+{_shingles_cte("kept1", n).lstrip()},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, {", ".join(band_exprs)} FROM sig),
+cand AS (
+{band_joins}
+),
+dropids AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE round(({agree})::DOUBLE / {num_perm}, {ROUND}) >= {threshold}
+),
+kept2 AS (
+  SELECT k.doc_id, k.text, k.fingerprint
+  FROM kept1 k LEFT JOIN dropids d ON k.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+),
+base AS (
+  SELECT doc_id, text, fingerprint,
+         regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}') AS toks1
+  FROM kept2
+)
+SELECT doc_id, fingerprint, {_quality_sql()} AS quality
+FROM base
+WHERE {_quality_sql()} >= {min_quality}"""
 
 
 def _lsh_bucket_cte(bits: int, n_tables: int, seed: int, dim: int) -> str:
