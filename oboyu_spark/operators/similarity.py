@@ -373,6 +373,26 @@ def ivf_build(
     return cent
 
 
+def ivf_append(
+    embeddings: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted ``ivf_build`` index:
+    assign against the FROZEN centroid sidecar (centroids never move
+    after build — the FAISS IVF contract; re-train + rebuild when drift
+    matters) and append into the existing ``list_id=N`` partition
+    directories. Searches pick the new files up on the next read; no
+    existing file is rewritten. The mirror of the BM25 index's
+    ``append_docs`` maintenance story."""
+    cent = ivf_load_centroids(index_dir)
+    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{index_dir}/lists"
+    )
+
+
 def ivf_load_centroids(index_dir: str) -> np.ndarray:
     import json
 

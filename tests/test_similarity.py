@@ -229,3 +229,29 @@ def test_ivf_quantized_topk_exact_over_candidates(spark, emb_df, vectors):
     exp = sorted(cand, key=lambda i: (-cos[i], i))[:5]
     assert [r["vec_id"] for r in got] == exp
     assert 20 in {r["vec_id"] for r in got}  # query's own vector probed
+
+
+def test_ivf_append(spark, emb_df, vectors, tmp_path):
+    """ivf_append assigns against the frozen centroids and lands in the
+    existing partitioned layout: searches see old + new vectors, and
+    appended assignments equal what a fresh build would compute."""
+    d = str(tmp_path / "ivf_app")
+    base = emb_df.filter("vec_id < 250")
+    extra = emb_df.filter("vec_id >= 250")
+    cent = S.ivf_build(base, d, n_lists=8, sample=250, iters=8, seed=5)
+    S.ivf_append(extra, d)
+
+    lists = spark.read.parquet(f"{d}/lists")
+    assert lists.count() == N
+    # appended rows carry the same list_id a fresh assign computes
+    got = {r["vec_id"]: r["list_id"]
+           for r in lists.filter("vec_id >= 250").collect()}
+    exp = {r["vec_id"]: r["list_id"]
+           for r in S.ivf_assign(extra, cent).collect()}
+    assert got == exp
+
+    # a query whose nearest neighbors live in the appended half finds them
+    q = [float(x) for x in vectors[260]]
+    found = {r["vec_id"]
+             for r in S.ivf_search(spark, d, q, k=3, nprobe=8).collect()}
+    assert 260 in found
