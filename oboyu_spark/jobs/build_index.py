@@ -3,7 +3,7 @@
     spark-submit --master local[32] \
         --py-files oboyu_spark.zip \
         oboyu_spark/jobs/build_index.py \
-        --input  /path/to/transcripts_or_docs.parquet \
+        --input  /path/to/transcripts_or_docs.parquet  (or table:<name>) \
         --output /path/to/index_dir \
         [--input-kind transcripts|documents] \
         [--shard-size 100000] [--salt-chunk 200000] [--shards-per-part 8]
@@ -41,7 +41,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("oboyu_spark.build_index").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    src = spark.read.parquet(args.input)
+    from oboyu_spark.sources.io import read_input
+
+    src = read_input(spark, args.input)
     if args.input_kind == "transcripts":
         docs = turns_as_docs(src).select("doc_id", "text")
         id_col, text_col = "doc_id", "text"

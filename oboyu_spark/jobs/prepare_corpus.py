@@ -50,7 +50,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
+    from oboyu_spark.sources.io import read_input
+
+    docs = read_input(spark, args.input)
     n_in = docs.count()
     res = prepare_corpus(
         docs,

@@ -154,7 +154,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("oboyu_spark.serve_index").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     reader = IndexReader(spark, args.index)
-    docs = spark.read.parquet(args.docs) if args.docs else None
+    from oboyu_spark.sources.io import read_input
+
+    docs = read_input(spark, args.docs) if args.docs else None
     # warm the caches before declaring readiness (first search pays
     # materialization; a serving process should pay it at startup)
     reader.search("warmup", k=1).collect()

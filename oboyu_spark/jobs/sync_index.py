@@ -42,7 +42,9 @@ def main() -> None:
     from oboyu_spark.sources.transcripts import turns_as_docs
 
     spark = SparkSession.builder.appName("oboyu_sync_index").getOrCreate()
-    df = spark.read.parquet(args.input)
+    from oboyu_spark.sources.io import read_input
+
+    df = read_input(spark, args.input)
     if args.input_kind == "transcripts":
         df = turns_as_docs(df)
     out = sync_docs(

@@ -65,3 +65,17 @@ def test_chunk_and_embed_shapes(spark, corpus):
     assert set(r["embeddings"].columns) == {"chunk_id", "embedding"}
     assert len(emb) == len(chunks)
     assert all(len(e["embedding"]) == 8 for e in emb)
+
+
+def test_read_input_table_and_parquet(spark, corpus, tmp_path):
+    """read_input resolves table:<name> via the catalog and plain
+    paths via parquet (the Iceberg-deployment seam; no Iceberg runtime
+    in this sandbox, so the catalog branch is pinned on a temp view)."""
+    from oboyu_spark.sources.io import read_input
+
+    p = str(tmp_path / "docs_pq")
+    corpus.write.mode("overwrite").parquet(p)
+    assert read_input(spark, p).count() == corpus.count()
+
+    corpus.createOrReplaceTempView("io_docs_view")
+    assert read_input(spark, "table:io_docs_view").count() == corpus.count()
