@@ -54,27 +54,43 @@ def main() -> None:
 
     docs = read_input(spark, args.input)
     n_in = docs.count()
+    # document stages only here — chunk/embed run below, each over the
+    # previous stage's written parquet
     res = prepare_corpus(
         docs,
         exact=not args.no_exact,
         near_threshold=None if args.no_near else args.near_threshold,
         min_quality=args.min_quality,
-        chunk_size=None if args.no_chunk else args.chunk_size,
-        chunk_overlap=args.chunk_overlap,
-        embed_dim=args.embed_dim,
+        chunk_size=None,
+        embed_dim=None,
         id_col=args.id_col,
         text_col=args.text_col,
     )
     report: dict[str, object] = {"input_docs": n_in}
     res["docs"].write.mode("overwrite").parquet(f"{args.output}/docs")
-    report["kept_docs"] = spark.read.parquet(f"{args.output}/docs").count()
-    if res["chunks"] is not None:
-        res["chunks"].write.mode("overwrite").parquet(f"{args.output}/chunks")
-        report["chunks"] = spark.read.parquet(f"{args.output}/chunks").count()
-    if res["embeddings"] is not None:
-        res["embeddings"].write.mode("overwrite").parquet(
-            f"{args.output}/embeddings"
-        )
+    cleaned = spark.read.parquet(f"{args.output}/docs")
+    report["kept_docs"] = cleaned.count()
+    # derive each downstream stage from the PREVIOUS stage's WRITTEN
+    # parquet, not from the lazy pipeline output — otherwise every
+    # write would re-execute the dedup aggregates and LSH band joins
+    # (the expensive stages) from the raw input
+    from oboyu_spark.operators.chunker import chunk_documents
+    from oboyu_spark.operators.embed import embed_docs
+
+    embed_src, embed_id, embed_text = cleaned, args.id_col, args.text_col
+    if not args.no_chunk:
+        chunk_documents(
+            cleaned, id_col=args.id_col, text_col=args.text_col,
+            chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap,
+        ).write.mode("overwrite").parquet(f"{args.output}/chunks")
+        chunks = spark.read.parquet(f"{args.output}/chunks")
+        report["chunks"] = chunks.count()
+        embed_src, embed_id, embed_text = chunks, "chunk_id", "text"
+    if args.embed_dim:
+        embed_docs(
+            embed_src, dim=args.embed_dim, id_col=embed_id,
+            text_col=embed_text,
+        ).write.mode("overwrite").parquet(f"{args.output}/embeddings")
         report["embeddings"] = spark.read.parquet(
             f"{args.output}/embeddings"
         ).count()

@@ -54,16 +54,18 @@ def handle_request(
     if isinstance(req, str):
         req = {"query": req}
     query = req.get("query", "")
-    k = int(req.get("k", default_k))
-    scorer = req.get("scorer", default_scorer)
-    mode = req.get("mode", "or")
-    hydrate = bool(req.get("hydrate", False))
-    rerank = bool(req.get("rerank", False))
-    if (hydrate or rerank) and docs is None:
-        return {"error": "hydrate/rerank need --docs", "query": query}
-
     t0 = time.time()
     try:
+        # field parsing INSIDE the guard: a malformed k/scorer must come
+        # back as an {"error": ...} line, never kill the serve loop
+        k = int(req.get("k", default_k))
+        scorer = req.get("scorer", default_scorer)
+        mode = req.get("mode", "or")
+        hydrate = bool(req.get("hydrate", False))
+        rerank = bool(req.get("rerank", False))
+        if (hydrate or rerank) and docs is None:
+            return {"error": "hydrate/rerank need --docs", "query": query}
+
         if rerank:
             from oboyu_spark.operators.bm25 import hydrate as hydrate_op
             from oboyu_spark.operators.fusion import rerank_expansion
@@ -74,9 +76,14 @@ def handle_request(
             hyd = hydrate_op(prefetch.select("doc_id", "score"), docs,
                              ["text"])
             out = rerank_op(hyd, query, top_k=k, round_digits=6)
+            if hydrate:  # re-attach text (rerank projects it away)
+                from pyspark.sql import functions as F
+
+                out = out.join(hyd.select("doc_id", "text"), "doc_id") \
+                    .orderBy(F.col("rerank_score").desc(),
+                             F.col("doc_id").asc())
             rows = [
-                {"doc_id": _json_id(r["doc_id"]),
-                 "rerank_score": r["rerank_score"]}
+                {c: _json_id(r[c]) for c in out.columns}
                 for r in out.collect()
             ]
         else:
@@ -126,12 +133,25 @@ def serve(reader, lines, docs=None, default_k=10, default_scorer="taat",
 
 def _follow(path: str):
     """Generator over request lines from a file or named pipe (FIFO).
-    A plain file is served to EOF; a FIFO blocks for writers, so
-    ``mkfifo req && spark-submit ... --requests req`` gives a live
-    request channel under spark-submit, whose JVM does not forward the
-    driver python's stdin."""
-    with open(path) as fh:
-        yield from fh
+    A plain file is served once, to EOF. A FIFO is REOPENED after each
+    writer closes (one open() sees EOF when its writer set drains), so
+    ``mkfifo req && spark-submit ... --requests req`` stays a live
+    request channel across any number of `echo ... > req` writers —
+    spark-submit's JVM does not forward the driver python's stdin,
+    which is why this exists. Shut the FIFO server down with a line
+    ``quit``."""
+    import os
+    import stat
+
+    is_fifo = stat.S_ISFIFO(os.stat(path).st_mode)
+    while True:
+        with open(path) as fh:
+            for line in fh:
+                if is_fifo and line.strip() == "quit":
+                    return
+                yield line
+        if not is_fifo:
+            return
 
 
 def main() -> None:

@@ -122,13 +122,14 @@ def ngram_jaccard_pairs(
     if max_shingle_df:
         # the shingle frame feeds candidate generation, sizes AND the
         # exact-verify joins — persist it so the tokenize+explode
-        # lineage runs once, not once per consumer (the operator owns
-        # this; MEMORY_AND_DISK is LRU-evictable so an unpersist is
-        # optional — callers holding many results can
-        # spark.catalog.clearCache() between batches)
+        # lineage runs once, not once per consumer. MEMORY_ONLY on
+        # purpose: memory blocks are LRU-evicted (worst case the
+        # lineage recomputes), whereas a disk tier would accumulate
+        # un-evicted cache files for the application lifetime in a
+        # long-lived process calling this over many corpora.
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df:
         # candidate generation over rare shingles only, derived from

@@ -106,8 +106,11 @@ def prepare_corpus(
                                  chunk_size=chunk_size,
                                  chunk_overlap=chunk_overlap)
     if embed_dim is not None:
+        # chunk_documents always emits a "text" column; un-chunked docs
+        # keep the caller's text_col
         target = chunks if chunks is not None else out
         target_id = "chunk_id" if chunks is not None else id_col
+        target_text = "text" if chunks is not None else text_col
         embeddings = embed_docs(target, dim=embed_dim, model=embed_model,
-                                id_col=target_id, text_col="text")
+                                id_col=target_id, text_col=target_text)
     return {"docs": out, "chunks": chunks, "embeddings": embeddings}

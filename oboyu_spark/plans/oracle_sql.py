@@ -551,15 +551,11 @@ ORDER BY round(cos, {ROUND}) DESC, vec_id ASC
 LIMIT {k}"""
 
 
-def minhash_lsh_pairs_sql(num_perm: int = 16, bands: int = 8,
-                          threshold: float = 0.5, n: int = 3,
-                          source: str = "dupdocs") -> str:
-    """Exact twin of dedup.minhash_lsh_pairs: md5 string-min signatures,
-    md5 band keys, per-band self-joins UNION-deduped, then the
-    signature-agreement estimate over the candidate set. Everything is
-    md5 hex strings and integer ratios — bit-identical across engines,
-    so the banded candidate SET (not just the estimate) matches the
-    engine's."""
+def _minhash_sql_parts(num_perm: int, bands: int) -> tuple[str, str, str, str]:
+    """(sigs, band_exprs, band_joins, agree) — the md5 string-min
+    signature / band-key / candidate-join / agreement-count SQL
+    fragments shared by minhash_lsh_pairs_sql and prepared_docs_sql
+    (one definition, so the two oracles cannot drift)."""
     rows_per_band = num_perm // bands
     sigs = ", ".join(
         f"min(md5(shingle || ':{i}')) AS sig_{i}" for i in range(num_perm)
@@ -580,10 +576,23 @@ def minhash_lsh_pairs_sql(num_perm: int = 16, bands: int = 8,
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(num_perm)
     )
+    return sigs, ", ".join(band_exprs), band_joins, agree
+
+
+def minhash_lsh_pairs_sql(num_perm: int = 16, bands: int = 8,
+                          threshold: float = 0.5, n: int = 3,
+                          source: str = "dupdocs") -> str:
+    """Exact twin of dedup.minhash_lsh_pairs: md5 string-min signatures,
+    md5 band keys, per-band self-joins UNION-deduped, then the
+    signature-agreement estimate over the candidate set. Everything is
+    md5 hex strings and integer ratios — bit-identical across engines,
+    so the banded candidate SET (not just the estimate) matches the
+    engine's."""
+    sigs, band_select, band_joins, agree = _minhash_sql_parts(num_perm, bands)
     pre = f"WITH {DUPDOCS_CTE}, " if source == "dupdocs" else "WITH "
     return f"""{pre}{_shingles_cte(source, n).lstrip()},
 sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
-banded AS (SELECT doc_id, {", ".join(band_exprs)} FROM sig),
+banded AS (SELECT doc_id, {band_select} FROM sig),
 cand AS (
 {band_joins}
 )
@@ -608,26 +617,7 @@ def prepared_docs_sql(num_perm: int = 16, bands: int = 8,
     Every stage reuses the bit-identical machinery of its standalone
     oracle (md5 fingerprints/signatures/band keys, integer agreement
     ratios, 6-dp-rounded quality)."""
-    rows_per_band = num_perm // bands
-    sigs = ", ".join(
-        f"min(md5(shingle || ':{i}')) AS sig_{i}" for i in range(num_perm)
-    )
-    band_exprs = []
-    for bnd in range(bands):
-        cols = " || '|' || ".join(
-            f"sig_{bnd * rows_per_band + r}" for r in range(rows_per_band)
-        )
-        band_exprs.append(f"md5({cols}) AS band_{bnd}")
-    band_joins = "\n  UNION\n".join(
-        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b ON a.band_{bnd} = b.band_{bnd}
-  WHERE a.doc_id < b.doc_id"""
-        for bnd in range(bands)
-    )
-    agree = " + ".join(
-        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
-        for i in range(num_perm)
-    )
+    sigs, band_select, band_joins, agree = _minhash_sql_parts(num_perm, bands)
     return f"""WITH {DUPDOCS_CTE},
 fp0 AS (SELECT doc_id, text, {_fp_sql()} AS fingerprint FROM dupdocs),
 keep1 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp0
@@ -636,7 +626,7 @@ kept1 AS (SELECT f.doc_id, f.text, f.fingerprint
           FROM fp0 f JOIN keep1 k ON f.doc_id = k.doc_id),
 {_shingles_cte("kept1", n).lstrip()},
 sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
-banded AS (SELECT doc_id, {", ".join(band_exprs)} FROM sig),
+banded AS (SELECT doc_id, {band_select} FROM sig),
 cand AS (
 {band_joins}
 ),

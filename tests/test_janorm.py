@@ -91,3 +91,28 @@ def test_lite_udf_matches_python_twin(spark):
            .collect()}
     for i, t in rows:
         assert got[i] == py_ja_normalize_lite(t), i
+
+
+def test_zen_to_han_expr_matches_python_translate(spark):
+    """The JVM translate fast path folds full-width ASCII/digits (and
+    the ideographic space) exactly like a python str.translate over the
+    same tables — kana untouched (mojimoji zen_to_han(kana=False))."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.functions.janorm import _HAN_ASCII, _ZEN_ASCII, zen_to_han_expr
+
+    cases = [
+        "１２３ＡＢＣ！？",          # digits + letters + punctuation
+        "ｈｅｌｌｏ　ｗｏｒｌｄ",     # ideographic space
+        "カタカナはそのまま１",      # kana untouched, digit folded
+        "", "mixed ＡscｉiＺ９",
+    ]
+    table = str.maketrans("　" + _ZEN_ASCII, " " + _HAN_ASCII)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, t string")
+    got = {r["i"]: r["o"] for r in
+           df.select("i", zen_to_han_expr(F.col("t")).alias("o")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == c.translate(table), c
+    assert got[0] == "123ABC!?"
+    assert got[2] == "カタカナはそのまま1"

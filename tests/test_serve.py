@@ -73,3 +73,20 @@ def test_handle_errors_do_not_kill_loop(served):
     assert len(lines) == 2  # blank line skipped
     assert "error" in lines[0]
     assert lines[1]["query"] == "spark index" and lines[1]["results"]
+
+
+def test_handle_malformed_fields_and_hydrate_rerank(served):
+    reader, corpus, _ = served
+    # malformed k must come back as an error line, not an exception
+    bad = handle_request(reader, {"query": "spark", "k": "ten"})
+    assert "error" in bad
+
+    both = handle_request(
+        reader, {"query": "spark index", "k": 3, "hydrate": True,
+                 "rerank": True},
+        docs=corpus,
+    )
+    assert len(both["results"]) == 3
+    assert all(r.get("text") for r in both["results"])
+    scores = [r["rerank_score"] for r in both["results"]]
+    assert scores == sorted(scores, reverse=True)
