@@ -73,3 +73,48 @@ def test_scan_prunes_columns(spark, index_dir):
     plan = _plan(df)
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "gaps" not in read_schema[0], plan
+
+
+def test_quality_filter_is_scan_fused_predicate(spark, tmp_path):
+    """prepare_corpus's quality stage must be a column predicate fused
+    into the scan stage — no Exchange (shuffle) and no python UDF
+    between the parquet source and the filter."""
+    from oboyu_spark.operators.textstats import quality_score
+
+    p = str(tmp_path / "qdocs")
+    spark.createDataFrame(
+        [(i, "some reasonable text " * 20) for i in range(50)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(quality_score(F.col("text")) >= 0.5)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_prepare_corpus_no_cartesian_no_forced_broadcast(spark, corpus):
+    """The composed pipeline plan: no CartesianProduct anywhere, and
+    the near-dup drop anti-join is NOT a forced broadcast (at web
+    scale the drop set can be a large corpus fraction — AQE owns the
+    strategy)."""
+    from oboyu_spark.operators.pipeline import prepare_corpus
+
+    r = prepare_corpus(corpus, exact=True, near_threshold=0.5,
+                       min_quality=0.3, chunk_size=None)
+    plan = _plan(r["docs"])
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan
+
+
+def test_rerank_stage_is_arrow_not_rowpython(spark, corpus):
+    """The rerank scoring pass must be an Arrow-batched python stage
+    (mapInPandas → MapInPandas/ArrowEvalPython), never row-at-a-time
+    BatchEvalPython, and introduces no shuffle before the final tiny
+    top-k sort."""
+    from oboyu_spark.operators.rerank import rerank
+
+    cand = corpus.limit(20)
+    out = rerank(cand, "spark query", top_k=5, round_digits=6)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
