@@ -210,6 +210,7 @@ class IndexReader:
     the in-memory columnar cache instead of parquet."""
 
     DF_CACHE_MAX = 1_000_000  # term-df cache entries (driver memory)
+    DOCMAP_CACHE_MAX = 1_000_000  # doc_int -> doc_id entries (driver memory)
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache: bool = True) -> None:
@@ -230,11 +231,16 @@ class IndexReader:
         # job entirely (one less Spark job per query). Bounded — the
         # full 10^8-term vocabulary never lands on the driver.
         self._df_cache: dict[tuple[int, int], int | None] = {}
+        # doc_int -> doc_id for past winners: serving workloads surface
+        # hot docs repeatedly; a cached winner skips the docmap job so a
+        # fully-warm query is ONE Spark job (the scorer scatter).
+        self._docmap_cache: dict[int, str] = {}
 
     def search(self, queries: str | Sequence[str], k: int = 10,
                scorer: str = "taat", mode: str = "or") -> DataFrame:
         return _search(self.spark, self.meta, self._dfs, self.index_dir,
-                       queries, k, scorer, mode, df_cache=self._df_cache)
+                       queries, k, scorer, mode, df_cache=self._df_cache,
+                       docmap_cache=self._docmap_cache)
 
     def close(self) -> None:
         for df in self._dfs.values():
@@ -268,6 +274,7 @@ def _search(
     scorer: str,
     mode: str = "or",
     df_cache: dict | None = None,
+    docmap_cache: dict | None = None,
 ) -> DataFrame:
     if isinstance(queries, str):
         queries = [queries]
@@ -397,24 +404,63 @@ def _search(
     # the k boundary (rank semantics) and the final cut happens on the
     # hydrated original keys.
     n_shards = max(1, -(-n_docs // shard_size))
-    if len(queries) * n_shards * k <= DRIVER_CUT_MAX_ROWS:
+    driver_cut = len(queries) * n_shards * k <= DRIVER_CUT_MAX_ROWS
+    if driver_cut:
         # small candidate set: collect the shard winners directly and
         # rank-cut on the driver — skips the window's shuffle exchange
         # (one fewer stage on the latency path; p50 matters in serving)
         top_rows = _driver_rank_cut(local.collect(), k)
-    else:
-        # cluster scale (10^4+ shards): rank in Spark
-        w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
-        top_rows = (
-            local.withColumn("rnk", F.rank().over(w))
-            .filter(F.col("rnk") <= k)
-            .drop("rnk")
-            .collect()
+        if not top_rows:
+            return empty
+        # winners are driver-known ids → hydrate driver-side: one
+        # pruned docmap scan for cache-missed ids (no join job), zero
+        # Spark jobs when every winner is already cached in a warm
+        # IndexReader. The docmap is sorted by doc_int, so the isin
+        # filter prunes to the few row groups containing misses.
+        ids = sorted({int(r["doc_int"]) for r in top_rows})
+        known = docmap_cache if docmap_cache is not None else {}
+        miss = [i for i in ids if i not in known]
+        fetched: dict[int, str] = {}
+        if miss:
+            rows = (
+                table("docmap")
+                .filter(F.col("doc_int").isin(miss))
+                .select("doc_int", "doc_id")
+                .collect()
+            )
+            fetched = {int(r["doc_int"]): r["doc_id"] for r in rows}
+            if (docmap_cache is not None
+                    and len(docmap_cache) < IndexReader.DOCMAP_CACHE_MAX):
+                docmap_cache.update(fetched)
+        by_q: dict[int, list[tuple[float, str]]] = {}
+        for r in top_rows:
+            di = int(r["doc_int"])
+            did = known.get(di, fetched.get(di))
+            if did is None:  # docmap gap — mirror inner-join semantics
+                continue
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (float(r["score"]), did)
+            )
+        final = []
+        for qid in sorted(by_q):
+            ranked = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
+            final.extend((qid, d, s) for s, d in ranked)
+        if not final:
+            return empty
+        return spark.createDataFrame(
+            final, "query_id int, doc_id string, score double"
         )
-    # hydrate keys from the docmap with an id-pushed filter — the
-    # docmap is sorted by doc_int, so parquet min/max stats prune to
-    # the few row groups containing winners instead of scanning all
-    # 10^12 rows
+    # cluster scale (10^4+ shards): rank in Spark, then hydrate keys
+    # from the docmap with an id-pushed filter — the docmap is sorted
+    # by doc_int, so parquet min/max stats prune to the few row groups
+    # containing winners instead of scanning all 10^12 rows
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+    top_rows = (
+        local.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+        .collect()
+    )
     if not top_rows:
         return empty
     ids = sorted({int(r["doc_int"]) for r in top_rows})
