@@ -128,8 +128,12 @@ def test_replay_guard_readds_tombstoned_keys(spark, tmp_path):
 class _FakeState:
     """Minimal GroupState stand-in for driving the assigner directly."""
 
-    def __init__(self):
+    def __init__(self, timed_out=False, watermark_ms=0):
         self._v, self.exists = None, False
+        self.hasTimedOut = timed_out
+        self._wm = watermark_ms
+        self.removed = False
+        self.timeout_ms = None
 
     @property
     def get(self):
@@ -137,6 +141,15 @@ class _FakeState:
 
     def update(self, v):
         self._v, self.exists = v, True
+
+    def remove(self):
+        self._v, self.exists, self.removed = None, False, True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
 
 
 def _assign_batch(assigner, state, rows):
@@ -191,6 +204,103 @@ def test_sessionization_late_tolerance_drops():
     # state unaffected by the drop: 10:35 still gaps against 10:10
     out = _assign_batch(assigner, st, [("c1", 4, "2025-01-01 10:35:00")])
     assert list(out["session_idx"]) == [0]
+
+
+def test_bounded_state_unit_contract():
+    """bounded_state at the assigner level: the timeout horizon is
+    last_ts + gap + tolerance, a timed-out invocation removes state and
+    emits nothing, and session ids carry the first-seen session epoch."""
+    from oboyu_spark.streaming.sessions import make_session_assigner
+
+    assigner = make_session_assigner(gap_minutes=30,
+                                     late_tolerance_minutes=5,
+                                     bounded_state=True)
+    st = _FakeState()
+    out = _assign_batch(assigner, st, [
+        ("c1", 0, "2025-01-01 10:00:00"), ("c1", 1, "2025-01-01 10:10:00"),
+    ])
+    t0 = int(__import__("pandas").Timestamp("2025-01-01 10:00:00").value
+             // 1_000_000_000)
+    assert list(out["session_id"]) == [f"c1#t{t0}", f"c1#t{t0}"]
+    # horizon = (10:10 + 30min gap + 5min tol) in ms
+    assert st.timeout_ms == (t0 + 600 + 35 * 60) * 1000
+    # a late merge must NOT retro-date the session identity
+    out = _assign_batch(assigner, st, [("c1", 2, "2025-01-01 10:07:00")])
+    assert list(out["session_id"]) == [f"c1#t{t0}"]
+    # timed-out invocation: state dropped, nothing emitted
+    st2 = _FakeState(timed_out=True)
+    st2.update((t0, 0, t0))
+    assert list(assigner(("c1",), iter([]), st2)) == []
+    assert st2.removed
+
+
+def test_bounded_state_eviction_pipeline(spark, tmp_path):
+    """VERDICT r3 #2: with bounded_state the state store must not grow
+    with total conversation cardinality, and a conversation re-appearing
+    AFTER its state was evicted keeps the exact session identity the
+    un-evicted assigner would have produced (epoch-based ids), with the
+    documented ordinal reset."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.streaming.sessions import sessionize_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string"
+        ).select(
+            "conv_id", "turn_idx",
+            F.lit(None).cast("string").alias("role"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    def _run():
+        q = sessionize_stream(spark, inp, outp, chk, gap_minutes=30,
+                              bounded_state=True)
+        q.awaitTermination(120)
+        rows = []
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            for op in d.get("stateOperators") or []:
+                rows.append(op["numRowsTotal"])
+        return max(rows) if rows else None
+
+    def _epoch(s):
+        return int(pd.Timestamp(s).value // 1_000_000_000)
+
+    # drop 1: 40 conversations at 10:00 → 40 state rows
+    _df([(f"c{i:02d}", 0, "2025-01-01 10:00:00") for i in range(40)]) \
+        .write.mode("append").parquet(inp)
+    n1 = _run()
+    assert n1 == 40
+    # drop 2 advances max event time to 13:00 (watermark commits 12:30)
+    _df([("w1", 0, "2025-01-01 13:00:00")]).write.mode("append").parquet(inp)
+    _run()
+    # drop 3: watermark 12:30 now exceeds every c* timeout (10:30) →
+    # the 40 idle conversations are evicted in this batch
+    _df([("w2", 0, "2025-01-01 13:05:00")]).write.mode("append").parquet(inp)
+    n3 = _run()
+    assert n3 is not None and n3 <= 3, \
+        f"state not bounded: {n3} rows after eviction horizon"
+    # drop 4: c00 re-appears AFTER eviction
+    _df([("c00", 1, "2025-01-01 13:10:00")]).write.mode("append").parquet(inp)
+    _run()
+
+    got = spark.read.parquet(outp).filter(F.col("conv_id") == "c00").collect()
+    by_turn = {r["turn_idx"]: r for r in got}
+    # identity: epoch-based ids, the re-appearance id is exactly what a
+    # never-evicted assigner computes (a 3h10m gap → new session at its
+    # own first-seen epoch)
+    assert by_turn[0]["session_id"] == f"c00#t{_epoch('2025-01-01 10:00:00')}"
+    assert by_turn[1]["session_id"] == f"c00#t{_epoch('2025-01-01 13:10:00')}"
+    # documented ordinal contract: reset-on-evict
+    assert by_turn[1]["session_idx"] == 0
 
 
 def test_windowed_turn_counts_with_watermark(spark, tmp_path):
