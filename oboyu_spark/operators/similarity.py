@@ -262,6 +262,8 @@ def ivf_assign(
     candidate SET — is reproducible bit-identically in DuckDB
     (argmin ties break toward the lowest list index on both sides)."""
     cent = np.asarray(centroids, dtype=np.float64)
+    if quantize:
+        _require_integer_centroids(cent)
     cent_sq = (cent ** 2).sum(axis=1)
 
     @F.pandas_udf(T.IntegerType())
@@ -317,11 +319,27 @@ def ivf_topk(
                        round_digits=round_digits)
 
 
+def _require_integer_centroids(cent: np.ndarray) -> None:
+    """ADVICE r3: quantize=True scales the VECTOR by LSH_VEC_SCALE but
+    uses the centroids as-is, so only integer-valued centroids already
+    living in the scaled space (``ivf_seeded_centroids`` output) give a
+    meaningful distance; a k-means-trained float centroid here would
+    silently compare mismatched scales. Enforce it loudly."""
+    if not np.array_equal(cent, np.floor(cent)):
+        raise ValueError(
+            "quantize=True requires integer-valued centroids in the "
+            "LSH_VEC_SCALE fixed-point space (use ivf_seeded_centroids); "
+            "got non-integer centroids — pass quantize=False for "
+            "k-means-trained centroids"
+        )
+
+
 def _probe_lists(centroids: np.ndarray, query_vec: Sequence[float],
                  nprobe: int, quantize: bool = False) -> list[int]:
     cent = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     if quantize:
+        _require_integer_centroids(cent)
         # same exact-integer ordering as quantized assignment: q² is
         # constant, so rank by cc − 2·q̂·c (ties → lowest list index)
         d = (cent ** 2).sum(axis=1) - 2.0 * (cent @ _quantize(q))
@@ -340,14 +358,20 @@ def ivf_build(
     centroids: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF index: train (or accept) centroids, assign
     every vector, and persist the assignment PARTITIONED BY ``list_id``
     (`out_dir/lists/list_id=N/`). This is the step that makes IVF's
     promise real at scale — searches read only the probed directories
     (Catalyst partition pruning on the partition column), never
-    re-assigning or re-scanning the corpus. Centroids are written to
-    ``out_dir/centroids.json`` so ``ivf_search`` is train-free.
+    re-assigning or re-scanning the corpus. Centroids — and the
+    quantizer MODE — are written to ``out_dir/centroids.json`` so
+    ``ivf_search``/``ivf_append`` are train-free AND probe/assign with
+    the same arithmetic the index was built with (VERDICT r3 #3: a
+    quantized build must be served by quantized probes, else the
+    persisted path and the oracle-validated path pick different
+    candidate sets).
 
     Train once / search many: the FAISS IVF lifecycle, re-expressed as
     a partitioned parquet layout instead of an in-process index."""
@@ -355,11 +379,18 @@ def ivf_build(
     import os
 
     if centroids is None:
+        if quantize:
+            raise ValueError(
+                "quantize=True needs explicit integer-space centroids "
+                "(ivf_seeded_centroids) — k-means training produces "
+                "float centroids in the unscaled space"
+            )
         centroids = ivf_train_centroids(
             embeddings, n_lists, sample, iters, seed, vec_col, id_col
         )
     cent = np.asarray(centroids, dtype=np.float64)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
+                          quantize=quantize)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{out_dir}/lists"
     )
@@ -367,7 +398,7 @@ def ivf_build(
     with open(f"{out_dir}/centroids.json", "w") as f:
         json.dump(
             {"n_lists": int(cent.shape[0]), "dim": int(cent.shape[1]),
-             "centroids": cent.tolist()},
+             "quantize": bool(quantize), "centroids": cent.tolist()},
             f,
         )
     return cent
@@ -386,19 +417,29 @@ def ivf_append(
     directories. Searches pick the new files up on the next read; no
     existing file is rewritten. The mirror of the BM25 index's
     ``append_docs`` maintenance story."""
-    cent = ivf_load_centroids(index_dir)
-    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
+    meta = ivf_load_sidecar(index_dir)
+    assigned = ivf_assign(embeddings, meta["centroids"], id_col, vec_col,
+                          quantize=meta["quantize"])
     assigned.write.mode("append").partitionBy("list_id").parquet(
         f"{index_dir}/lists"
     )
 
 
-def ivf_load_centroids(index_dir: str) -> np.ndarray:
+def ivf_load_sidecar(index_dir: str) -> dict:
+    """Centroid sidecar as {centroids: ndarray, quantize: bool, ...};
+    pre-round-4 sidecars carry no quantize key → False (they were
+    always built unquantized)."""
     import json
 
     with open(f"{index_dir}/centroids.json") as f:
         meta = json.load(f)
-    return np.asarray(meta["centroids"], dtype=np.float64)
+    meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    meta["quantize"] = bool(meta.get("quantize", False))
+    return meta
+
+
+def ivf_load_centroids(index_dir: str) -> np.ndarray:
+    return ivf_load_sidecar(index_dir)["centroids"]
 
 
 def ivf_search(
@@ -410,14 +451,17 @@ def ivf_search(
     round_digits: int | None = None,
 ) -> DataFrame:
     """IVF search over a persisted ``ivf_build`` index: nearest-centroid
-    probes are computed driver-side from the centroid sidecar, and the
-    scan reads ONLY the probed ``list_id=N`` partitions — the
+    probes are computed driver-side from the centroid sidecar — in the
+    quantizer MODE recorded at build time, so a quantized build is
+    probed with the same exact-integer arithmetic that assigned it —
+    and the scan reads ONLY the probed ``list_id=N`` partitions — the
     ``isin`` filter lands in the scan's PartitionFilters (list_id is a
     partition column, not a computed one), so the files of the other
     n_lists − nprobe lists are never opened. Scanned fraction ≈
     nprobe / n_lists by construction, verified by a plan-shape test."""
-    centroids = ivf_load_centroids(index_dir)
-    probes = _probe_lists(centroids, query_vec, nprobe)
+    meta = ivf_load_sidecar(index_dir)
+    probes = _probe_lists(meta["centroids"], query_vec, nprobe,
+                          quantize=meta["quantize"])
     lists = spark.read.parquet(f"{index_dir}/lists")
     cand = lists.filter(F.col("list_id").isin(probes)).select(
         "vec_id", "embedding"

@@ -231,6 +231,49 @@ def test_ivf_quantized_topk_exact_over_candidates(spark, emb_df, vectors):
     assert 20 in {r["vec_id"] for r in got}  # query's own vector probed
 
 
+def test_ivf_build_search_quantized_unified(spark, emb_df, vectors, tmp_path):
+    """VERDICT r3 #3: the persisted path must serve the same quantizer
+    it was built with. A quantize=True/seeded-centroid build records the
+    mode in the sidecar; ivf_search probes quantized and returns exactly
+    ivf_topk(quantize=True); ivf_append assigns quantized too."""
+    d = str(tmp_path / "ivfq")
+    cent = S.ivf_seeded_centroids(DIM, n_lists=8, seed=42)
+    base = emb_df.filter("vec_id < 250")
+    extra = emb_df.filter("vec_id >= 250")
+    S.ivf_build(base, d, centroids=cent, quantize=True)
+    assert S.ivf_load_sidecar(d)["quantize"] is True
+    q = [float(x) for x in vectors[20]]
+    got = S.ivf_search(spark, d, q, k=5, nprobe=3).collect()
+    mem = S.ivf_topk(base, q, k=5, n_lists=8, nprobe=3,
+                     centroids=cent, quantize=True).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in mem
+    ]
+    # append honors the recorded mode: appended list_ids equal a fresh
+    # quantized assignment
+    S.ivf_append(extra, d)
+    lists = spark.read.parquet(f"{d}/lists")
+    got_ids = {r["vec_id"]: r["list_id"]
+               for r in lists.filter("vec_id >= 250").collect()}
+    exp_ids = {r["vec_id"]: r["list_id"]
+               for r in S.ivf_assign(extra, cent, quantize=True).collect()}
+    assert got_ids == exp_ids
+
+
+def test_ivf_quantize_rejects_float_centroids(spark, emb_df):
+    """ADVICE r3: quantize=True with k-means (unscaled float) centroids
+    silently mixes scales — it must raise instead."""
+    cent = S.ivf_train_centroids(emb_df, n_lists=4, sample=100, iters=2,
+                                 seed=9)
+    assert not np.array_equal(cent, np.floor(cent))
+    with pytest.raises(ValueError, match="integer-valued"):
+        S.ivf_assign(emb_df, cent, quantize=True)
+    with pytest.raises(ValueError, match="integer-valued"):
+        S._probe_lists(cent, [0.0] * DIM, nprobe=2, quantize=True)
+    with pytest.raises(ValueError, match="integer-space"):
+        S.ivf_build(emb_df, "/tmp/never", quantize=True)
+
+
 def test_ivf_append(spark, emb_df, vectors, tmp_path):
     """ivf_append assigns against the frozen centroids and lands in the
     existing partitioned layout: searches see old + new vectors, and
