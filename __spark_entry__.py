@@ -370,6 +370,21 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5)
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components (iterative min-label propagation, plain
+    # DataFrame self-joins) over the MinHash+LSH pair graph — the
+    # cluster-level near-dedup policy behind
+    # prepare_corpus(near_policy="components"); exact-oracle checked
+    # against a DuckDB RECURSIVE-CTE transitive closure
+    from oboyu_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_dupdocs(spark, sf_dir), num_perm=16,
+                              bands=8, threshold=0.5)
+    return connected_components(pairs)
+
+
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-quantized sign-LSH buckets are bit-identical in DuckDB →
     # exact oracle (was rows-only in r1/r2)
@@ -491,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "near_dup_components": _q_near_dup_components,
         "prepared_docs": _q_prepared_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -553,6 +569,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
             threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)
         ),
         "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(
+            num_perm=16, bands=8, threshold=0.5
+        ),
+        "near_dup_components": O.near_dup_components_sql(
             num_perm=16, bands=8, threshold=0.5
         ),
         "embed_docs": O.embedding_rows_sql(dim=8),

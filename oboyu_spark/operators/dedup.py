@@ -342,6 +342,68 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over a near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, component) for every node of the pair graph, where
+    ``component`` is the MIN node id in the node's connected component —
+    iterative min-label propagation to a fixpoint, plain DataFrame
+    self-joins (no GraphX/graphframes dependency).
+
+    Per iteration: each node takes min(own label, neighbors' labels) —
+    one equi-join on the symmetrized edge list plus one min-aggregate,
+    both shuffling on node id. Converges in O(graph diameter)
+    iterations; near-dup graphs are dense clusters with tiny diameters,
+    and ``max_iters`` bounds the pathological chain. Labels are
+    persisted per round and the convergence check is a LIMIT-1 count of
+    changed labels, so each round's lineage is one join deep (no
+    exponential plan growth).
+
+    At 100 TB the frames here scale with the PAIR set (near-duplicate
+    edges), not the corpus — orders of magnitude smaller than the
+    documents frame that produced them."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh = sym.join(
+            labels, sym["dst"] == labels["doc_id"]
+        ).select(F.col("src").alias("doc_id"), "component")
+        new_labels = (
+            neigh.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

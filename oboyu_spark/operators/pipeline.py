@@ -13,11 +13,16 @@ Stage policies (the parts that are a decision, not a mechanism):
 
 - exact: keep the min-id document per whitespace-normalized md5
   fingerprint (dedup.dedup_exact).
-- near: MinHash+LSH candidate pairs at ``near_threshold`` estimated
-  Jaccard; DROP the higher id of every pair. Greedy pair-based
-  removal over-removes on chains (a~b, b~c drops b and c even when
-  a≁c); the refinement at scale is connected components + one
-  representative per cluster — documented, not silently assumed.
+- near (``near_policy="greedy"``, default): MinHash+LSH candidate
+  pairs at ``near_threshold`` estimated Jaccard; DROP the higher id
+  of every pair. Greedy pair-based removal over-removes on chains
+  (a~b, b~c drops b and c even when a≁c) and under-removes on stars
+  sharing a high-id hub.
+- near (``near_policy="components"``): connected components over the
+  pair graph (dedup.connected_components, min-label propagation to a
+  fixpoint), keep exactly ONE representative — the min id — per
+  component. Deterministic cluster semantics: every near-dup cluster
+  survives exactly once regardless of its edge shape.
 - quality: keep documents with textstats.quality_score >=
   ``min_quality`` (composite length/punctuation/word-shape heuristic,
   deterministic column expression).
@@ -45,16 +50,26 @@ def near_dup_drop_ids(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    policy: str = "greedy",
 ) -> DataFrame:
-    """Ids to drop under the keep-lowest-id policy: every ``doc_b`` of
-    a MinHash+LSH candidate pair (doc_a < doc_b by construction) with
-    estimated Jaccard >= threshold."""
-    from .dedup import minhash_lsh_pairs
+    """Ids to drop at >= ``threshold`` estimated Jaccard.
+
+    ``policy="greedy"``: every ``doc_b`` of a MinHash+LSH candidate
+    pair (doc_a < doc_b by construction). ``policy="components"``:
+    every non-representative member of a connected component of the
+    pair graph (representative = min id per component)."""
+    from .dedup import connected_components, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands,
                               threshold=threshold, n=n,
                               id_col=id_col, text_col=text_col)
-    return pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    if policy == "greedy":
+        return pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    if policy == "components":
+        cc = connected_components(pairs)
+        return cc.filter(F.col("doc_id") != F.col("component")) \
+                 .select(F.col("doc_id").alias(id_col))
+    raise ValueError(f"policy={policy!r} not in ('greedy', 'components')")
 
 
 def prepare_corpus(
@@ -64,6 +79,7 @@ def prepare_corpus(
     near_num_perm: int = 16,
     near_bands: int = 4,
     near_n: int = 3,
+    near_policy: str = "greedy",
     min_quality: Optional[float] = None,
     chunk_size: Optional[int] = 1024,
     chunk_overlap: int = 256,
@@ -79,7 +95,12 @@ def prepare_corpus(
     None}``. Pass ``near_threshold=None`` / ``min_quality=None`` /
     ``chunk_size=None`` / ``embed_dim=None`` to skip a stage.
     Embeddings are computed over CHUNKS when chunking is on (the
-    reference embeds chunks, not whole documents), else over docs."""
+    reference embeds chunks, not whole documents), else over docs.
+
+    ``near_policy="components"`` is the exception to the lazy-plan
+    rule: the connected-components fixpoint is iterative, so the pair
+    graph is materialized (Spark actions run) when this function is
+    CALLED, not when the result is consumed."""
     from .chunker import chunk_documents
     from .dedup import dedup_exact
     from .embed import embed_docs
@@ -92,7 +113,7 @@ def prepare_corpus(
         drop = near_dup_drop_ids(out, threshold=near_threshold,
                                  num_perm=near_num_perm, bands=near_bands,
                                  n=near_n, id_col=id_col,
-                                 text_col=text_col)
+                                 text_col=text_col, policy=near_policy)
         # no forced broadcast: at web scale the drop set can be a large
         # fraction of the corpus — let AQE pick the join strategy
         out = out.join(drop, id_col, "left_anti")

@@ -604,6 +604,42 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 WHERE round(({agree})::DOUBLE / {num_perm}, {ROUND}) >= {threshold}"""
 
 
+def near_dup_components_sql(num_perm: int = 16, bands: int = 8,
+                            threshold: float = 0.5, n: int = 3) -> str:
+    """Exact twin of dedup.connected_components over the MinHash+LSH
+    pair graph (dupdocs source): the candidate pairs reuse the
+    bit-identical minhash machinery, then a RECURSIVE CTE computes the
+    transitive closure of reachable node ids — min over it per node is
+    exactly the min-label-propagation fixpoint the engine converges to
+    (component = min id in the connected component)."""
+    sigs, band_select, band_joins, agree = _minhash_sql_parts(num_perm, bands)
+    return f"""WITH RECURSIVE {DUPDOCS_CTE},
+{_shingles_cte("dupdocs", n).lstrip()},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_select} FROM sig),
+cand AS (
+{band_joins}
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE round(({agree})::DOUBLE / {num_perm}, {ROUND}) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.node = e.dst
+)
+SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node"""
+
+
 def prepared_docs_sql(num_perm: int = 16, bands: int = 8,
                       threshold: float = 0.5, n: int = 3,
                       min_quality: float = 0.5) -> str:
