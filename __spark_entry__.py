@@ -240,6 +240,17 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
 
 
+def _q_winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing near-pair detection (local-overlap lens): candidates
+    # from a df-capped fingerprint equi-join, common/overlap computed
+    # exactly over the candidates' full fingerprint sets — exact DuckDB
+    # twin end-to-end (md5 mode)
+    from oboyu_spark.operators.dedup import winnow_near_pairs
+
+    return winnow_near_pairs(_docs(spark, sf_dir), k=8, window=4,
+                             min_common=20, max_fp_df=20)
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.dedup import exact_dup_groups
 
@@ -494,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "sessionized_events": _q_sessionized_events,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_near_pairs": _q_winnow_near_pairs,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
@@ -546,6 +558,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "token_counts": O.token_counts_sql(),
         "sessionized_events": O.sessionized_events_sql(gap_minutes=30),
         "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
+        "winnow_near_pairs": O.winnow_near_pairs_sql(k=8, window=4,
+                                                     min_common=20,
+                                                     max_fp_df=20),
         "exact_dup_groups": O.exact_dup_groups_sql(),
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),
         "minhash_signatures": O.minhash_signatures_sql(num_perm=4),

@@ -253,6 +253,94 @@ def winnowing_fingerprints(
     return sel.select("doc_id", "fp").distinct()
 
 
+def winnow_near_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_common: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "md5",
+    max_chars: int | None = None,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, common_fp, overlap) — document pairs sharing ≥
+    ``min_common`` winnowing fingerprints; ``overlap`` = common /
+    min(|A|, |B|) rounded to 6dp (the containment-style score MOSS
+    reports). Completes the fingerprint family: winnowing guarantees
+    any pair sharing a run of ≥ k + window − 1 normalized chars shares
+    a selected fingerprint, so this is the local-overlap (plagiarism /
+    near-copy) detector, complementing MinHash's global-Jaccard lens.
+
+    Same shuffle pattern as the minhash band join: candidates come from
+    an equi-join on the fingerprint hash (never a cross product), with
+    the ``doc_a < doc_b`` triangle filter. Scale guard mirrors
+    ngram_jaccard_pairs: fingerprints hotter than ``max_fp_df`` are
+    excluded from CANDIDATE GENERATION (boilerplate runs shared by
+    thousands of docs would otherwise explode the self-join
+    quadratically), but ``common_fp``/``overlap`` are then computed
+    EXACTLY over the candidates' full fingerprint sets, hot prints
+    included. ``hash_mode="xxh64"`` is the narrow-shuffle 100 TB path;
+    ``"md5"`` the exact-oracle path (same contract as
+    winnowing_fingerprints)."""
+    fps = winnowing_fingerprints(docs, k, window, id_col, text_col,
+                                 hash_mode, max_chars)
+    if max_fp_df:
+        # the fingerprint frame feeds candidate generation, sizes and
+        # the exact-verify joins — persist so the explode+window
+        # lineage runs once (same reasoning as ngram_jaccard_pairs)
+        from pyspark import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_ONLY)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    if max_fp_df:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("fdf"))
+            .filter(F.col("fdf") <= max_fp_df)
+            .select("fp")
+        )
+        cand_fp = fps.join(rare, "fp", "left_semi")
+        a = cand_fp.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = cand_fp.select(F.col("doc_id").alias("doc_b"), "fp")
+        cand = (
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        full_a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+        full_b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+        common = (
+            cand.join(full_a, "doc_a")
+            .join(full_b, ["doc_b", "fp"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common_fp"))
+        )
+    else:
+        a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+        common = (
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common_fp"))
+        )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_fp", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_fp", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "common_fp",
+            F.round(
+                F.col("common_fp") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("overlap"),
+        )
+        .filter(F.col("common_fp") >= min_common)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -467,6 +467,50 @@ sel AS (
 SELECT DISTINCT doc_id, fp FROM sel WHERE i <= nk - {window} + 1"""
 
 
+def winnow_near_pairs_sql(k: int = 8, window: int = 4,
+                          min_common: int = 2,
+                          max_fp_df: int | None = 1000,
+                          source: str = "documents",
+                          max_chars: int | None = None) -> str:
+    """Exact twin of dedup.winnow_near_pairs (hash_mode='md5'):
+    candidate pairs from an equi-join on fingerprints with df ≤
+    ``max_fp_df``, then common_fp/overlap computed over the FULL
+    fingerprint sets of the candidates. The fps CTE nests
+    winnow_fingerprints_sql verbatim — one definition, no drift."""
+    fps_sql = winnow_fingerprints_sql(k, window, source, max_chars)
+    if max_fp_df:
+        cand = f"""rare AS (SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) <= {max_fp_df}),
+candfp AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM candfp a JOIN candfp b USING (fp)
+  WHERE a.doc_id < b.doc_id
+)"""
+    else:
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id
+)"""
+    return f"""WITH fps AS ({fps_sql}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps GROUP BY doc_id),
+{cand},
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS common_fp
+  FROM cand c
+  JOIN fps fa ON fa.doc_id = c.doc_a
+  JOIN fps fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.common_fp,
+       round(m.common_fp::DOUBLE / least(sa.n_fp, sb.n_fp), {ROUND}) AS overlap
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+WHERE m.common_fp >= {min_common}"""
+
+
 def simhash_near_pairs_sql(bits: int = 32, max_hamming: int = 3,
                            source: str = "documents") -> str:
     """Exhaustive O(n²) hamming pairs — the oracle for the engine's
