@@ -356,6 +356,16 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_overlap=75)
 
 
+def _q_chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-stride relational chunker (no snapping, no UDF) — the
+    # exact-oracle member of the chunker family; the snapping variant
+    # above stays rows-only + reference-pinned by pytest
+    from oboyu_spark.operators.chunker import chunk_documents_fixed
+
+    return chunk_documents_fixed(_docs(spark, sf_dir), chunk_size=300,
+                                 chunk_overlap=75)
+
+
 def _q_prepared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Composed corpus-preparation pipeline over the dupdocs source:
     # exact dedup → MinHash+LSH near dedup (keep-lowest-id) → quality
@@ -517,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
+        "chunk_documents_fixed": _q_chunk_documents_fixed,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "near_dup_components": _q_near_dup_components,
         "prepared_docs": _q_prepared_docs,
@@ -558,6 +569,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "token_counts": O.token_counts_sql(),
         "sessionized_events": O.sessionized_events_sql(gap_minutes=30),
         "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
+        "chunk_documents_fixed": O.chunk_documents_fixed_sql(
+            chunk_size=300, chunk_overlap=75
+        ),
         "winnow_near_pairs": O.winnow_near_pairs_sql(k=8, window=4,
                                                      min_common=20,
                                                      max_fp_df=20),

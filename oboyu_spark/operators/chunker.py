@@ -94,6 +94,50 @@ def chunk_documents(
 ) -> DataFrame:
     """One row per chunk: (chunk_id, doc_id, chunk_index, text)."""
     arr = chunks_udf(chunk_size, chunk_overlap)(F.col(text_col))
+    return _explode_chunks(docs, arr, id_col)
+
+
+def chunk_documents_fixed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = CHUNK_SIZE_DEFAULT,
+    chunk_overlap: int = CHUNK_OVERLAP_DEFAULT,
+) -> DataFrame:
+    """Fixed-stride chunker, FULLY RELATIONAL (VERDICT r3 #7): windows
+    of ``chunk_size`` chars every ``chunk_size − chunk_overlap`` chars,
+    no boundary snapping — sequence + transform + substring, zero
+    Python in the plan (whole-stage-codegen'd, unlike the snapping
+    chunker's Arrow UDF), and therefore exactly reproducible in DuckDB
+    (the snap-free twin the driver oracle checks).
+
+    Edge contract mirrors the reference chunker where snapping plays no
+    role: empty/whitespace-only text → one empty chunk; text ≤
+    chunk_size → single verbatim chunk; windows are space-trimmed and
+    empty ones dropped, chunk_index renumbering the kept ones."""
+    step = chunk_size - chunk_overlap
+    if step < 1:
+        raise ValueError(
+            f"chunk_overlap={chunk_overlap} must be smaller than "
+            f"chunk_size={chunk_size}"
+        )
+    t = F.col(text_col)
+    windows = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t), F.lit(step)),
+            lambda i: F.trim(t.substr(i, F.lit(chunk_size))),
+        ),
+        lambda x: x != "",
+    )
+    arr = (
+        F.when(t.isNull() | (F.trim(t) == ""), F.array(F.lit("")))
+        .when(F.length(t) <= chunk_size, F.array(t))
+        .otherwise(windows)
+    )
+    return _explode_chunks(docs, arr, id_col)
+
+
+def _explode_chunks(docs: DataFrame, arr, id_col: str) -> DataFrame:
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("chunk_index", "text")
     )

@@ -467,6 +467,34 @@ sel AS (
 SELECT DISTINCT doc_id, fp FROM sel WHERE i <= nk - {window} + 1"""
 
 
+def chunk_documents_fixed_sql(chunk_size: int = 300,
+                              chunk_overlap: int = 75,
+                              source: str = "documents") -> str:
+    """Exact twin of chunker.chunk_documents_fixed: fixed-stride
+    windows (no snapping), space-trimmed, empties dropped, kept chunks
+    renumbered. Both sides are pure relational expressions — the Spark
+    side has no UDF to drift from."""
+    step = chunk_size - chunk_overlap
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE
+           WHEN text IS NULL OR trim(text) = '' THEN ['']
+           WHEN length(text) <= {chunk_size} THEN [text]
+           ELSE list_filter(
+             list_transform(generate_series(1, length(text), {step}),
+                            i -> trim(substr(text, i, {chunk_size}))),
+             x -> x != '')
+         END AS chunks
+  FROM {source}
+)
+SELECT doc_id::VARCHAR || '#' || (i - 1)::VARCHAR AS chunk_id,
+       doc_id,
+       (i - 1)::INT AS chunk_index,
+       chunks[i] AS text
+FROM base, UNNEST(generate_series(1, len(chunks))) AS u(i)"""
+
+
 def winnow_near_pairs_sql(k: int = 8, window: int = 4,
                           min_common: int = 2,
                           max_fp_df: int | None = 1000,

@@ -71,3 +71,48 @@ def test_spark_chunk_documents(spark):
         assert got == py_chunk_text(t, 300, 75), t[:40]
     # deterministic chunk ids
     assert all(r["chunk_id"] == f"{r['doc_id']}#{r['chunk_index']}" for r in rows)
+
+
+def test_spark_chunk_documents_fixed(spark):
+    from oboyu_spark.operators.chunker import chunk_documents_fixed
+
+    texts = TEXTS + ["", "   ", "x" * 301, "a" * 300]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents_fixed(docs, chunk_size=300,
+                                 chunk_overlap=75).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_index"], r["text"]))
+    for i, t in enumerate(texts):
+        got = [txt for _, txt in sorted(by_doc.get(i, []))]
+        if not t or t.strip() == "":
+            assert got == [""], repr(t)
+        elif len(t) <= 300:
+            assert got == [t]
+        else:
+            step = 225
+            exp = [t[j:j + 300].strip(" ") for j in range(0, len(t), step)]
+            assert got == [c for c in exp if c != ""], t[:40]
+    # overlap guard
+    import pytest as _pt
+    with _pt.raises(ValueError, match="chunk_overlap"):
+        chunk_documents_fixed(docs, chunk_size=100, chunk_overlap=100)
+
+
+def test_chunk_documents_fixed_plan_has_no_udf(spark):
+    """The fixed chunker's selling point: zero Python in the plan."""
+    import contextlib
+    import io
+
+    from oboyu_spark.operators.chunker import chunk_documents_fixed
+
+    docs = spark.createDataFrame([(1, "abc " * 200)],
+                                 "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_documents_fixed(docs, chunk_size=300,
+                              chunk_overlap=75).explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
