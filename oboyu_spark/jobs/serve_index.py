@@ -113,11 +113,16 @@ def _json_id(v):
 
 def serve(reader, lines, docs=None, default_k=10, default_scorer="taat",
           out=sys.stdout):
-    """The loop: one request line in, one JSON line out."""
+    """The loop: one request line in, one JSON line out. A line
+    ``quit`` shuts the server down in EVERY mode (stdin, plain file,
+    FIFO — ADVICE r3: it used to be FIFO-only, with the same line
+    forwarded as a search query elsewhere); EOF also ends it."""
     for line in lines:
         line = line.strip()
         if not line:
             continue
+        if line == "quit":
+            return
         req: "str | dict" = line
         if line.startswith("{"):
             try:
@@ -138,18 +143,16 @@ def _follow(path: str):
     ``mkfifo req && spark-submit ... --requests req`` stays a live
     request channel across any number of `echo ... > req` writers —
     spark-submit's JVM does not forward the driver python's stdin,
-    which is why this exists. Shut the FIFO server down with a line
-    ``quit``."""
+    which is why this exists. Shutdown (a ``quit`` line) is handled
+    uniformly by ``serve`` for every input mode; abandoning this
+    generator closes the FIFO reopen loop."""
     import os
     import stat
 
     is_fifo = stat.S_ISFIFO(os.stat(path).st_mode)
     while True:
         with open(path) as fh:
-            for line in fh:
-                if is_fifo and line.strip() == "quit":
-                    return
-                yield line
+            yield from fh
         if not is_fifo:
             return
 

@@ -37,6 +37,12 @@ from pyspark.sql import SparkSession
 from ..sources.transcripts import turns_as_docs
 
 
+#: tombstone sets up to this size are inlined as an isin literal (one
+#: broadcast-free pushed filter); larger sets anti-join instead so the
+#: driver never builds a million-term In-expression
+TOMBSTONE_ISIN_MAX = 10_000
+
+
 def _done_batches(index_dir: str) -> set[int]:
     try:
         with open(f"{index_dir}/stream_batches.json") as fh:
@@ -86,10 +92,18 @@ def handle_batch_factory(index_dir: str):
                 f"{index_dir}/docmap"
             )
             tomb = load_tombstones(index_dir)
-            if tomb:
+            if tomb and len(tomb) <= TOMBSTONE_ISIN_MAX:
                 docmap = docmap.filter(
                     ~F.col("doc_int").isin([int(x) for x in tomb])
                 )
+            elif tomb:
+                # ADVICE r3: a large pre-compaction tombstone set as an
+                # isin literal is one giant driver-built In-expression;
+                # above the cutoff ship it as a frame and anti-join
+                tomb_df = batch_df.sparkSession.createDataFrame(
+                    [(int(x),) for x in tomb], "doc_int long"
+                )
+                docmap = docmap.join(tomb_df, "doc_int", "left_anti")
             existing = docmap.select("doc_id")
             batch_df = batch_df.join(existing, "doc_id", "left_anti")
             if batch_df.isEmpty():

@@ -75,6 +75,16 @@ def test_handle_errors_do_not_kill_loop(served):
     assert lines[1]["query"] == "spark index" and lines[1]["results"]
 
 
+def test_quit_is_uniform_shutdown(served):
+    """ADVICE r3: 'quit' must stop the loop in every input mode, not
+    only over a FIFO — it is never forwarded as a search query."""
+    reader, corpus, _ = served
+    out = io.StringIO()
+    serve(reader, ["spark index", "quit", "never reached"], out=out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert len(lines) == 1 and lines[0]["query"] == "spark index"
+
+
 def test_handle_malformed_fields_and_hydrate_rerank(served):
     reader, corpus, _ = served
     # malformed k must come back as an error line, not an exception

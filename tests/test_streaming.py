@@ -125,6 +125,33 @@ def test_replay_guard_readds_tombstoned_keys(spark, tmp_path):
     assert live.count() == 1
 
 
+def test_replay_guard_tombstone_antijoin_path(spark, tmp_path, monkeypatch):
+    """ADVICE r3: above TOMBSTONE_ISIN_MAX the tombstone filter runs as
+    an anti-join instead of a giant In-literal — force the cutoff to 0
+    and pin identical re-add behavior through that branch."""
+    from oboyu_spark.operators.postings import delete_docs, load_tombstones
+    from oboyu_spark.streaming import ingest
+
+    monkeypatch.setattr(ingest, "TOMBSTONE_ISIN_MAX", 0)
+    idx = str(tmp_path / "idx")
+    base = synthesize_transcripts(spark, n_convs=10, max_turns=4, seed=3)
+    base_docs = turns_as_docs(base).select("doc_id", "text")
+    build_index(base_docs, idx, shard_size=50, salt_chunk=60,
+                shards_per_part=2, id_assign_partitions=4)
+    n0 = load_meta(idx)["n_docs"]
+
+    victim = base_docs.limit(1).collect()[0]
+    delete_docs(spark, idx, [victim["doc_id"]])
+    assert load_tombstones(idx)
+
+    handler = ingest.handle_batch_factory(idx)
+    re_emit = spark.createDataFrame(
+        [(victim["doc_id"], victim["text"])], "doc_id string, text string"
+    )
+    handler(re_emit, 7)
+    assert load_meta(idx)["n_docs"] == n0  # tombstoned one out, re-add in
+
+
 class _FakeState:
     """Minimal GroupState stand-in for driving the assigner directly."""
 
