@@ -77,15 +77,16 @@ def handle_request(
                              ["text"])
             out = rerank_op(hyd, query, top_k=k, round_digits=6)
             if hydrate:  # re-attach text (rerank projects it away)
-                from pyspark.sql import functions as F
-
-                out = out.join(hyd.select("doc_id", "text"), "doc_id") \
-                    .orderBy(F.col("rerank_score").desc(),
-                             F.col("doc_id").asc())
+                out = out.join(hyd.select("doc_id", "text"), "doc_id")
             rows = [
                 {c: _json_id(r[c]) for c in out.columns}
                 for r in out.collect()
             ]
+            if hydrate:
+                # the join loses the rerank ordering; re-sort the <=k
+                # collected rows in Python rather than spending a Spark
+                # orderBy job on them (VERDICT r3 nit)
+                rows.sort(key=lambda r: (-r["rerank_score"], r["doc_id"]))
         else:
             res = reader.search(query, k=k, scorer=scorer, mode=mode)
             if hydrate:
