@@ -99,17 +99,27 @@ def hybrid_search_indexed(
     ann: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ivf_dir: str | None = None,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Serving-shape hybrid: the BM25 branch runs against the PERSISTED
     compressed index through an :class:`~oboyu_spark.operators.searchidx.
     IndexReader` (warm executor-cached postings), the vector branch is
-    LSH-bucketed by default. Rank-identical to :func:`hybrid_search`
-    over the same corpus when the index was built from it (pinned by
+    LSH-bucketed by default — or, with ``ivf_dir``, runs against a
+    PERSISTED ``ivf_build`` index (partition-pruned probed-list scan,
+    ``embeddings`` then unused), making BOTH branches index-backed: the
+    full deployment shape. Rank-identical to :func:`hybrid_search`
+    over the same corpus when the indexes were built from it (pinned by
     tests) — this is the path a deployment runs per query."""
     text_top = reader.search(query, k=k_each).select(
         F.col("doc_id").cast("string").alias("doc_id"), "score"
     )
-    if ann:
+    if ivf_dir is not None:
+        from .similarity import ivf_search
+
+        vec_raw = ivf_search(reader.spark, ivf_dir, query_vec, k=k_each,
+                             nprobe=nprobe)
+    elif ann:
         vec_raw = lsh_ann_topk(embeddings, query_vec, k=k_each,
                                id_col=id_col, vec_col=vec_col)
     else:

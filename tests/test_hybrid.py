@@ -65,5 +65,19 @@ def test_indexed_hybrid_matches_relational(spark, corpus, tmp_path):
         assert [r["doc_id"] for r in rel] == [r["doc_id"] for r in idx]
         for a, b in zip(rel, idx):
             assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+
+        # fully index-backed deployment shape: vector branch through a
+        # persisted IVF index with every list probed == exact cosine,
+        # so the fused output must stay rank-identical
+        from oboyu_spark.operators.similarity import ivf_build
+
+        ivf_d = str(tmp_path / "hivf")
+        ivf_build(emb, ivf_d, n_lists=4, sample=emb.count(), iters=4,
+                  seed=5)
+        both = hybrid_search_indexed(
+            reader, emb, "spark query join", QVEC, k_each=15, limit=8,
+            ivf_dir=ivf_d, nprobe=4,
+        ).collect()
+        assert [r["doc_id"] for r in rel] == [r["doc_id"] for r in both]
     finally:
         reader.close()

@@ -118,3 +118,43 @@ def test_rerank_stage_is_arrow_not_rowpython(spark, corpus):
     plan = _plan(out)
     assert "BatchEvalPython" not in plan, plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_winnow_near_pairs_plan_is_bucketed(spark, corpus):
+    """The fingerprint pair join must be an equi-join on fp (shuffle on
+    the hash of fp), never a cartesian, and the candidate exchanges
+    must carry only (doc_id/doc_a/doc_b, fp) — no text column rides a
+    pair-join shuffle."""
+    from oboyu_spark.operators.dedup import winnow_near_pairs
+
+    df = winnow_near_pairs(corpus, k=8, window=4, min_common=2,
+                           max_fp_df=50)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    fp_exchanges = [
+        blk for blk in re.split(r"\n\(\d+\) ", plan)
+        if blk.startswith("Exchange") and "hashpartitioning(fp" in blk
+    ]
+    assert fp_exchanges, plan  # candidates shuffle on the fingerprint
+    for blk in fp_exchanges:
+        assert "text" not in blk, blk
+
+
+def test_connected_components_iteration_is_equijoin(spark):
+    """One CC propagation step (the frame shape repeated to fixpoint)
+    must plan as an equi-join on the neighbor id — no cartesian, no
+    row explosion beyond the edge list."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    edges = pairs.selectExpr("doc_a as src", "doc_b as dst")
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    labels = sym.selectExpr("src as doc_id").distinct() \
+        .withColumn("component", F.col("doc_id"))
+    step = sym.join(labels, sym["dst"] == labels["doc_id"]) \
+        .select(F.col("src").alias("doc_id"), "component")
+    plan = _plan(step)
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
