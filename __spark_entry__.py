@@ -414,6 +414,24 @@ def _q_prepared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prepared_docs_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed pipeline under the connected-components near-dedup
+    # policy (one min-id representative per cluster) — exact-oracle
+    # checked end-to-end incl. the RECURSIVE-CTE component computation
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.operators.textstats import fingerprint_md5, quality_score
+
+    r = prepare_corpus(_dupdocs(spark, sf_dir), exact=True,
+                       near_threshold=0.5, near_num_perm=16, near_bands=8,
+                       near_policy="components", min_quality=0.5,
+                       chunk_size=None)
+    return r["docs"].select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.dedup import minhash_lsh_pairs
 
@@ -562,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "near_dup_components": _q_near_dup_components,
         "prepared_docs": _q_prepared_docs,
+        "prepared_docs_components": _q_prepared_docs_components,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
@@ -626,6 +645,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
                                              multiplier=2),
         "prepared_docs": O.prepared_docs_sql(num_perm=16, bands=8,
                                              threshold=0.5, min_quality=0.5),
+        "prepared_docs_components": O.prepared_docs_components_sql(
+            num_perm=16, bands=8, threshold=0.5, min_quality=0.5
+        ),
         "embedding_near_pairs": O.lsh_near_pairs_sql(
             threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)
         ),

@@ -760,6 +760,64 @@ FROM base
 WHERE {_quality_sql()} >= {min_quality}"""
 
 
+def prepared_docs_components_sql(num_perm: int = 16, bands: int = 8,
+                                 threshold: float = 0.5, n: int = 3,
+                                 min_quality: float = 0.5) -> str:
+    """prepared_docs_sql with the connected-components near-dedup
+    policy: the drop set is every non-representative member (node !=
+    min id of its component, via the RECURSIVE transitive closure) of
+    the MinHash+LSH pair graph computed over the exact-deduped set.
+    Mirrors prepare_corpus(near_policy='components') stage for stage."""
+    sigs, band_select, band_joins, agree = _minhash_sql_parts(num_perm, bands)
+    return f"""WITH RECURSIVE {DUPDOCS_CTE},
+fp0 AS (SELECT doc_id, text, {_fp_sql()} AS fingerprint FROM dupdocs),
+keep1 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp0
+          GROUP BY fingerprint),
+kept1 AS (SELECT f.doc_id, f.text, f.fingerprint
+          FROM fp0 f JOIN keep1 k ON f.doc_id = k.doc_id),
+{_shingles_cte("kept1", n).lstrip()},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_select} FROM sig),
+cand AS (
+{band_joins}
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE round(({agree})::DOUBLE / {num_perm}, {ROUND}) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.node = e.dst
+),
+dropids AS (
+  SELECT node AS doc_id FROM (
+    SELECT node, min(comp) AS comp FROM cc GROUP BY node
+  ) WHERE node != comp
+),
+kept2 AS (
+  SELECT k.doc_id, k.text, k.fingerprint
+  FROM kept1 k LEFT JOIN dropids d ON k.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+),
+base AS (
+  SELECT doc_id, text, fingerprint,
+         regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}') AS toks1
+  FROM kept2
+)
+SELECT doc_id, fingerprint, {_quality_sql()} AS quality
+FROM base
+WHERE {_quality_sql()} >= {min_quality}"""
+
+
 def _lsh_bucket_cte(bits: int, n_tables: int, seed: int, dim: int) -> str:
     """bk(vec_id, b_0..b_{T-1}) — per-table sign-LSH bucket ids over the
     quantized embedding, the exact twin of similarity.lsh_bucketize.
