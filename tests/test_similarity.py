@@ -274,6 +274,47 @@ def test_ivf_quantize_rejects_float_centroids(spark, emb_df):
         S.ivf_build(emb_df, "/tmp/never", quantize=True)
 
 
+def test_ann_index_job_lifecycle(spark, emb_df, vectors, tmp_path,
+                                 monkeypatch, capsys):
+    """jobs/ann_index.py build -> search -> append drive the persisted
+    IVF lifecycle through the spark-submit surface (argv-level)."""
+    import json
+    import sys
+
+    from oboyu_spark.jobs import ann_index
+
+    d = str(tmp_path / "jobivf")
+    p = str(tmp_path / "emb_pq")
+    emb_df.write.mode("overwrite").parquet(p)
+    q = [float(x) for x in vectors[20]]
+
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index.py", "build", "--index", d, "--embeddings", p,
+        "--n-lists", "8", "--sample", "300", "--seeded", "--quantize",
+    ])
+    ann_index.main()
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_lists"] == 8 and built["quantize"] is True
+
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index.py", "search", "--index", d,
+        "--query-json", json.dumps(q), "--k", "5", "--nprobe", "3",
+    ])
+    ann_index.main()
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exp = S.ivf_search(spark, d, q, k=5, nprobe=3).collect()
+    assert [r["vec_id"] for r in res["results"]] == \
+        [r["vec_id"] for r in exp]
+
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index.py", "append", "--index", d, "--embeddings", p,
+    ])
+    ann_index.main()
+    app = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert app["n_added"] == N
+    assert spark.read.parquet(f"{d}/lists").count() == 2 * N
+
+
 def test_ivf_append(spark, emb_df, vectors, tmp_path):
     """ivf_append assigns against the frozen centroids and lands in the
     existing partitioned layout: searches see old + new vectors, and
