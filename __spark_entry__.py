@@ -349,6 +349,21 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3)
 
 
+def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit SimHash as two independent 32-bit halves (one aggregate,
+    # single shuffle) — exact DuckDB twin
+    from oboyu_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded (pigeonhole) 64-bit near-pairs vs an exhaustive oracle
+    from oboyu_spark.operators.dedup import simhash64_near_pairs
+
+    return simhash64_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
 def _q_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # H2: min-max-normalized weighted fusion; cut on ROUNDED scores so
     # the boundary matches the oracle bit-for-bit
@@ -570,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "simhash64": _q_simhash64,
+        "simhash64_near_pairs": _q_simhash64_near_pairs,
         "weighted_fusion": _q_weighted_fusion,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -631,6 +648,8 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "minhash_signatures": O.minhash_signatures_sql(num_perm=4),
         "simhash": O.simhash_sql(bits=32),
         "simhash_near_pairs": O.simhash_near_pairs_sql(bits=32, max_hamming=3),
+        "simhash64": O.simhash64_sql(),
+        "simhash64_near_pairs": O.simhash64_near_pairs_sql(max_hamming=8),
         "weighted_fusion": O.weighted_fusion_sql(RRF_QA, RRF_QB, k=20,
                                                  limit=10),
         "cosine_topk": O.cosine_topk_sql(QVEC, k=20),

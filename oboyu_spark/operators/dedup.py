@@ -544,6 +544,101 @@ def simhash(
     return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_length: int = 2,
+) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi) — a 64-bit SimHash as two independent
+    32-bit halves (the composition the ``simhash`` docstring defers
+    to: a single signed long cannot hold bit 63's 2^63 weight).
+
+    Half ``lo`` uses the term hash from md5 hex chars [1..8] (the same
+    32-bit slice ``simhash`` uses — ``sim_lo`` equals ``simhash(bits=
+    32)`` exactly), half ``hi`` the independent slice [9..16]. One
+    explode + ONE hash aggregate computes all 64 conditional sums
+    (same single-shuffle shape as the 32-bit operator)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col), min_token_length)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h_lo", term_hash32(F.col("term"))).withColumn(
+        "h_hi",
+        F.conv(F.substring(F.md5(F.col("term")), 9, 8), 16, 10).cast("long"),
+    )
+    aggs = []
+    for half in ("lo", "hi"):
+        for j in range(32):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(f"h_{half}"), j)
+                        .bitwiseAND(F.lit(1)) == 1,
+                        F.col("tf"),
+                    ).otherwise(-F.col("tf"))
+                ).alias(f"s_{half}_{j}")
+            )
+    sums = h.groupBy("doc_id").agg(*aggs)
+    out_cols = ["doc_id"]
+    for half in ("lo", "hi"):
+        sim = sum(
+            F.when(F.col(f"s_{half}_{j}") > 0, F.lit(2 ** j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(32)
+        )
+        out_cols.append(sim.cast("long").alias(f"sim_{half}"))
+    return sums.select(*out_cols)
+
+
+def simhash64_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit near-dup pairs: band the (lo, hi) fingerprint into
+    ``max_hamming + 1`` segments across the two halves (pigeonhole —
+    any pair within the hamming budget shares at least one full
+    segment), bucket-join, verify the exact 64-bit hamming distance
+    (bit_count of both halves' XORs)."""
+    sh = simhash64(docs, id_col, text_col)
+    n_bands = max_hamming + 1
+    # segment the 64 bits round-robin across bands: band b owns bits
+    # {i : i mod n_bands == b}, gathered from whichever half holds them
+    cand = None
+    for bnd in range(n_bands):
+        def seg(col, base, b=bnd):
+            bits = [i for i in range(32) if (base + i) % n_bands == b]
+            expr = F.lit(0)
+            for pos, i in enumerate(bits):
+                expr = expr + (
+                    F.shiftright(F.col(col), i).bitwiseAND(F.lit(1))
+                    * F.lit(2 ** pos)
+                )
+            return expr
+        key = (seg("sim_lo", 0) * F.lit(1 << 32) + seg("sim_hi", 32))
+        a = sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sim_lo").alias("la"),
+                      F.col("sim_hi").alias("ha"), key.alias("bkey"))
+        b_ = sh.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sim_lo").alias("lb"),
+                       F.col("sim_hi").alias("hb"), key.alias("bkey"))
+        p = a.join(b_, "bkey").filter(F.col("doc_a") < F.col("doc_b")) \
+            .drop("bkey")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    dist = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    )
+    return cand.select(
+        "doc_a", "doc_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     bits: int = 32,

@@ -387,6 +387,58 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def simhash64_sql(source: str = "documents") -> str:
+    """Exact twin of dedup.simhash64: two independent 32-bit halves
+    from md5 hex slices [1..8] / [9..16], 64 conditional sums in one
+    aggregate, signed-long recomposition per half."""
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h_{half} >> {j}) & 1 = 1 THEN tf ELSE -tf END) "
+        f"AS s_{half}_{j}"
+        for half in ("lo", "hi") for j in range(32)
+    )
+    rec = {
+        half: " + ".join(
+            f"(CASE WHEN s_{half}_{j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(32)
+        )
+        for half in ("lo", "hi")
+    }
+    return f"""WITH
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}')) AS term
+  FROM {source}
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE length(term) >= {MIN_TOKEN_LENGTH} GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT AS h_lo,
+         ('0x' || substr(md5(term), 9, 8))::UBIGINT::BIGINT AS h_hi
+  FROM tf
+),
+bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({rec['lo']})::BIGINT AS sim_lo,
+       ({rec['hi']})::BIGINT AS sim_hi
+FROM bitsums"""
+
+
+def simhash64_near_pairs_sql(max_hamming: int = 6,
+                             source: str = "documents") -> str:
+    """Exhaustive O(n²) 64-bit hamming pairs — the oracle for the
+    banded (pigeonhole) candidate generation, which finds EVERY pair
+    within the hamming budget, so the sets match exactly."""
+    return f"""WITH sh AS ({simhash64_sql(source)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.sim_lo, b.sim_lo))
+        + bit_count(xor(a.sim_hi, b.sim_hi)))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+      + bit_count(xor(a.sim_hi, b.sim_hi)) <= {max_hamming}"""
+
+
 def sessionized_events_sql(gap_minutes: int = 30) -> str:
     """Exact twin of sessionize_turns + session_stats over the events
     table (user_id as the conversation key, event_id as the tiebreak).

@@ -274,3 +274,28 @@ def test_winnow_near_pairs_hot_fp_guard(spark):
                 D.winnow_near_pairs(docs, k=8, window=4, min_common=1,
                                     max_fp_df=None).collect()}
     assert pairs[(1, 2)]["common_fp"] == uncapped[(1, 2)]["common_fp"]
+
+
+def test_simhash64_halves_and_pairs(spark, docs):
+    """sim_lo must equal the 32-bit simhash exactly (same md5 slice);
+    the banded 64-bit pair generation must equal a brute-force 64-bit
+    hamming scan (pigeonhole completeness), and exact dups sit at
+    hamming 0."""
+    sh32 = {r["doc_id"]: r["simhash"]
+            for r in D.simhash(docs, bits=32).collect()}
+    rows = D.simhash64(docs).collect()
+    sh64 = {r["doc_id"]: (r["sim_lo"], r["sim_hi"]) for r in rows}
+    for d, (lo, _) in sh64.items():
+        assert lo == sh32[d], d
+    # brute-force oracle over all pairs
+    def ham(a, b):
+        return (bin(sh64[a][0] ^ sh64[b][0]).count("1")
+                + bin(sh64[a][1] ^ sh64[b][1]).count("1"))
+    ids = sorted(sh64)
+    budget = 8
+    exp = {(a, b): ham(a, b) for a, b in itertools.combinations(ids, 2)
+           if ham(a, b) <= budget}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in D.simhash64_near_pairs(docs, max_hamming=budget).collect()}
+    assert got == exp
+    assert got.get((1, 2)) == 0 and got.get((7, 8)) == 0  # exact dups
