@@ -447,6 +447,23 @@ def _q_prepared_docs_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prepared_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed pipeline with the WINNOW near-dedup method (local
+    # shared-run lens, containment overlap) — exact-oracle end-to-end
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.operators.textstats import fingerprint_md5, quality_score
+
+    r = prepare_corpus(_dupdocs(spark, sf_dir), exact=True,
+                       near_threshold=0.3, near_method="winnow",
+                       near_winnow_max_fp_df=20, min_quality=0.5,
+                       chunk_size=None)
+    return r["docs"].select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.dedup import minhash_lsh_pairs
 
@@ -598,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": _q_near_dup_components,
         "prepared_docs": _q_prepared_docs,
         "prepared_docs_components": _q_prepared_docs_components,
+        "prepared_docs_winnow": _q_prepared_docs_winnow,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
@@ -666,6 +684,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
                                              threshold=0.5, min_quality=0.5),
         "prepared_docs_components": O.prepared_docs_components_sql(
             num_perm=16, bands=8, threshold=0.5, min_quality=0.5
+        ),
+        "prepared_docs_winnow": O.prepared_docs_winnow_sql(
+            threshold=0.3, max_fp_df=20, min_quality=0.5
         ),
         "embedding_near_pairs": O.lsh_near_pairs_sql(
             threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)

@@ -23,6 +23,10 @@ Stage policies (the parts that are a decision, not a mechanism):
   fixpoint), keep exactly ONE representative — the min id — per
   component. Deterministic cluster semantics: every near-dup cluster
   survives exactly once regardless of its edge shape.
+- near (``near_method="winnow"``): pairs from winnowing
+  fingerprints thresholded on containment overlap instead of
+  MinHash Jaccard — the local shared-run lens; composes with either
+  policy above.
 - quality: keep documents with textstats.quality_score >=
   ``min_quality`` (composite length/punctuation/word-shape heuristic,
   deterministic column expression).
@@ -51,18 +55,41 @@ def near_dup_drop_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     policy: str = "greedy",
+    method: str = "minhash",
+    winnow_k: int = 8,
+    winnow_window: int = 4,
+    winnow_max_fp_df: int | None = 1000,
 ) -> DataFrame:
-    """Ids to drop at >= ``threshold`` estimated Jaccard.
+    """Ids to drop at >= ``threshold`` similarity.
 
-    ``policy="greedy"``: every ``doc_b`` of a MinHash+LSH candidate
-    pair (doc_a < doc_b by construction). ``policy="components"``:
-    every non-representative member of a connected component of the
-    pair graph (representative = min id per component)."""
-    from .dedup import connected_components, minhash_lsh_pairs
+    ``method="minhash"`` (default): MinHash+LSH candidate pairs,
+    threshold on the signature-estimated Jaccard — the global
+    bag-of-shingles lens. ``method="winnow"``: winnowing-fingerprint
+    pairs, threshold on containment-style overlap (common fingerprints
+    / min set size) — the LOCAL shared-run lens, which catches a long
+    copied passage inside otherwise-different documents that Jaccard
+    dilutes below any sane threshold.
 
-    pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands,
-                              threshold=threshold, n=n,
-                              id_col=id_col, text_col=text_col)
+    ``policy="greedy"``: every ``doc_b`` of a pair (doc_a < doc_b by
+    construction). ``policy="components"``: every non-representative
+    member of a connected component of the pair graph (representative
+    = min id per component)."""
+    from .dedup import (
+        connected_components, minhash_lsh_pairs, winnow_near_pairs,
+    )
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands,
+                                  threshold=threshold, n=n,
+                                  id_col=id_col, text_col=text_col)
+    elif method == "winnow":
+        pairs = winnow_near_pairs(
+            docs, k=winnow_k, window=winnow_window, min_common=1,
+            id_col=id_col, text_col=text_col,
+            max_fp_df=winnow_max_fp_df,
+        ).filter(F.col("overlap") >= threshold).select("doc_a", "doc_b")
+    else:
+        raise ValueError(f"method={method!r} not in ('minhash', 'winnow')")
     if policy == "greedy":
         return pairs.select(F.col("doc_b").alias(id_col)).distinct()
     if policy == "components":
@@ -80,6 +107,8 @@ def prepare_corpus(
     near_bands: int = 4,
     near_n: int = 3,
     near_policy: str = "greedy",
+    near_method: str = "minhash",
+    near_winnow_max_fp_df: Optional[int] = 1000,
     min_quality: Optional[float] = None,
     chunk_size: Optional[int] = 1024,
     chunk_overlap: int = 256,
@@ -113,7 +142,9 @@ def prepare_corpus(
         drop = near_dup_drop_ids(out, threshold=near_threshold,
                                  num_perm=near_num_perm, bands=near_bands,
                                  n=near_n, id_col=id_col,
-                                 text_col=text_col, policy=near_policy)
+                                 text_col=text_col, policy=near_policy,
+                                 method=near_method,
+                                 winnow_max_fp_df=near_winnow_max_fp_df)
         # no forced broadcast: at web scale the drop set can be a large
         # fraction of the corpus — let AQE pick the join strategy
         out = out.join(drop, id_col, "left_anti")

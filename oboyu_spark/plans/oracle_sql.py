@@ -870,6 +870,42 @@ FROM base
 WHERE {_quality_sql()} >= {min_quality}"""
 
 
+def prepared_docs_winnow_sql(threshold: float = 0.3, k: int = 8,
+                             window: int = 4,
+                             max_fp_df: int | None = 1000,
+                             min_quality: float = 0.5) -> str:
+    """prepared_docs_sql with the WINNOW near-dedup method: pairs from
+    winnow_near_pairs_sql over the exact-deduped set (min_common=1),
+    dropped at containment overlap >= threshold, greedy higher-id
+    policy. Mirrors prepare_corpus(near_method='winnow')."""
+    pairs = winnow_near_pairs_sql(k=k, window=window, min_common=1,
+                                  max_fp_df=max_fp_df, source="kept1")
+    return f"""WITH {DUPDOCS_CTE},
+fp0 AS (SELECT doc_id, text, {_fp_sql()} AS fingerprint FROM dupdocs),
+keep1 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp0
+          GROUP BY fingerprint),
+kept1 AS (SELECT f.doc_id, f.text, f.fingerprint
+          FROM fp0 f JOIN keep1 kk ON f.doc_id = kk.doc_id),
+wpairs AS ({pairs}),
+dropids AS (
+  SELECT DISTINCT doc_b AS doc_id FROM wpairs
+  WHERE overlap >= {threshold}
+),
+kept2 AS (
+  SELECT k2.doc_id, k2.text, k2.fingerprint
+  FROM kept1 k2 LEFT JOIN dropids d ON k2.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+),
+base AS (
+  SELECT doc_id, text, fingerprint,
+         regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}') AS toks1
+  FROM kept2
+)
+SELECT doc_id, fingerprint, {_quality_sql()} AS quality
+FROM base
+WHERE {_quality_sql()} >= {min_quality}"""
+
+
 def _lsh_bucket_cte(bits: int, n_tables: int, seed: int, dim: int) -> str:
     """bk(vec_id, b_0..b_{T-1}) — per-table sign-LSH bucket ids over the
     quantized embedding, the exact twin of similarity.lsh_bucketize.

@@ -132,3 +132,28 @@ def test_read_input_table_and_parquet(spark, corpus, tmp_path):
 
     corpus.createOrReplaceTempView("io_docs_view")
     assert read_input(spark, "table:io_docs_view").count() == corpus.count()
+
+
+def test_near_method_winnow(spark):
+    """near_method='winnow' drops documents sharing a long copied
+    passage even when their overall Jaccard is diluted by different
+    surrounding text — the case the MinHash lens misses."""
+    passage = ("a very long verbatim boilerplate disclaimer passage that "
+               "is copied between documents and runs for quite a while "
+               "so the winnowing fingerprints overlap heavily ")
+    rows = [
+        (1, passage + "short tail one"),
+        (2, passage + "short tail two"),
+        (3, "entirely original content about distributed query engines "
+            "and columnar storage layouts with no copied passages"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    drop = {r["doc_id"] for r in near_dup_drop_ids(
+        docs, threshold=0.5, method="winnow").collect()}
+    assert drop == {2}
+    kept = {r["doc_id"] for r in prepare_corpus(
+        docs, exact=True, near_threshold=0.5, near_method="winnow",
+        min_quality=None, chunk_size=None)["docs"].collect()}
+    assert kept == {1, 3}
+    with pytest.raises(ValueError, match="method"):
+        near_dup_drop_ids(docs, method="nope")
