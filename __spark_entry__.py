@@ -110,34 +110,58 @@ def _q_bm25_topk_lucene_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTRY_INDEX_CACHE: dict[str, str] = {}
+
+
+def _entry_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a compressed index over the
+    documents table in a temp dir shared by the bm25_indexed_* entries;
+    cleaned up at process exit."""
+    if sf_dir not in _ENTRY_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from oboyu_spark.operators.postings import build_index
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        d = tempfile.mkdtemp(prefix="oboyu_entry_idx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        build_index(docs, d, shard_size=200, salt_chunk=5000,
+                    shards_per_part=4)
+        _ENTRY_INDEX_CACHE[sf_dir] = d
+    return _ENTRY_INDEX_CACHE[sf_dir]
+
+
 def _q_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The COMPRESSED-INDEX engine under the driver's exact-oracle gate:
     # full build (staging → term shuffle → varbyte encode → shards) into
     # a temp dir, scatter-gather TAAT search over it, compared against
-    # the same relational BM25 SQL as bm25_topk. Search executes
-    # eagerly on the driver-cut path (local-relation result), so the
-    # temp index can be deleted before returning. k=40 prefetch, then
+    # the same relational BM25 SQL as bm25_topk. k=40 prefetch, then
     # the shared rounded-score top-20 cut (boundary ties break on the
     # ROUNDED score both sides — the repo-wide oracle contract).
-    import shutil
-    import tempfile
-
-    from oboyu_spark.operators.postings import build_index
     from oboyu_spark.operators.searchidx import search_index
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    d = _entry_index(spark, sf_dir)
+    res = search_index(spark, d, BM25_Q1, k=40).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
     )
-    d = tempfile.mkdtemp(prefix="oboyu_entry_idx_")
-    try:
-        build_index(docs, d, shard_size=200, salt_chunk=5000,
-                    shards_per_part=4)
-        res = search_index(spark, d, BM25_Q1, k=40).select(
-            F.col("doc_id").cast("long").alias("doc_id"), "score"
-        )
-        return B.topk(res, 20, round_digits=ROUND)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return B.topk(res, 20, round_digits=ROUND)
+
+
+def _q_bm25_indexed_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the index engine's posting-list INTERSECTION path (mode="and",
+    # per-doc matched-term counting inside the TAAT accumulator) vs the
+    # relational AND-mode SQL oracle
+    from oboyu_spark.operators.searchidx import search_index
+
+    d = _entry_index(spark, sf_dir)
+    res = search_index(spark, d, BM25_Q1, k=40, mode="and").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
+    )
+    return B.topk(res, 20, round_digits=ROUND)
 
 
 def _q_bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_lucene_idf": _q_bm25_topk_lucene_idf,
         "bm25_indexed_topk": _q_bm25_indexed_topk,
+        "bm25_indexed_conjunctive": _q_bm25_indexed_conjunctive,
         "bm25_hydrated": _q_bm25_hydrated,
         "reranked_topk": _q_reranked_topk,
         "like_search": _q_like_search,
@@ -641,6 +666,8 @@ def oracle_sql() -> dict[str, str]:
             BM25_Q2, k=20, idf_variant="lucene_log10"
         ),
         "bm25_indexed_topk": O.bm25_topk_sql(BM25_Q1, k=20),
+        "bm25_indexed_conjunctive": O.bm25_topk_sql(BM25_Q1, k=20,
+                                                    mode="and"),
         "bm25_hydrated": f"""
 WITH top AS ({O.bm25_topk_sql(BM25_Q1, k=10)})
 SELECT d.doc_id, top.score, d.text, d.lang
