@@ -253,6 +253,14 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_docs(spark, sf_dir))
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-self-trained unigram LM quality signal (model-free
+    # perplexity proxy) — fully relational, exact DuckDB twin
+    from oboyu_spark.operators.textstats import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(spark, sf_dir), round_digits=ROUND)
+
+
 def _q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (one shuffle, partition-local windows)
     # over the events table; per-session rollup with epoch-second
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_date_range": _q_transcripts_date_range,
         "text_profile": _q_text_profile,
         "token_counts": _q_token_counts,
+        "unigram_logprob": _q_unigram_logprob,
         "sessionized_events": _q_sessionized_events,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_near_pairs": _q_winnow_near_pairs,
@@ -680,6 +689,7 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "transcripts_date_range": O.transcripts_date_range_sql(DATE_START, DATE_END),
         "text_profile": O.text_profile_sql(),
         "token_counts": O.token_counts_sql(),
+        "unigram_logprob": O.unigram_logprob_sql(),
         "sessionized_events": O.sessionized_events_sql(gap_minutes=30),
         "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
         "chunk_documents_fixed": O.chunk_documents_fixed_sql(

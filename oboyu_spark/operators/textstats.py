@@ -144,3 +144,50 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id",
         quality_score(c).alias("quality"),
         fingerprint_md5(c).alias("fingerprint"),
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — model-free perplexity proxy:
+    a unigram language model trained on the CORPUS ITSELF scores each
+    document by its mean token log-likelihood,
+    avg_logprob = Σ_t tf(d,t)·ln(cf_t / total_terms) / dl(d).
+
+    The standard cheap fluency/outlier signal in training-data
+    curation (gibberish, wrong-language, and boilerplate-repetition
+    docs sit far from the corpus mode) when no external LM is
+    available — and unlike a model-backed perplexity it is fully
+    relational: one tokenize+explode, one (term) aggregate for
+    collection frequencies, one broadcast-joined per-doc aggregate.
+    Docs with zero tokens are excluded (no likelihood is defined).
+
+    100 TB shape: two hash aggregates and one join keyed on term —
+    the same shuffle profile as term_frequencies + vocabulary; the
+    corpus-totals row is a broadcast singleton."""
+    from .termindex import term_frequencies
+
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total_terms"))
+    scored = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total_terms")))
+                / F.sum("tf")
+            ).alias("avg_logprob"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.select(
+            "doc_id", "n_tokens",
+            F.round("avg_logprob", round_digits).alias("avg_logprob"),
+        )
+    return scored

@@ -387,6 +387,19 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def unigram_logprob_sql(table: str = "documents") -> str:
+    """Exact twin of textstats.unigram_logprob_scores: corpus-trained
+    unigram LM, mean token log-likelihood per doc, 6dp rounded."""
+    return f"""WITH {tf_cte(table)},
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS total_terms FROM cf)
+SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+       round(sum(tf.tf * ln(cf.cf / tot.total_terms)) / sum(tf.tf),
+             {ROUND}) AS avg_logprob
+FROM tf JOIN cf USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id"""
+
+
 def simhash64_sql(source: str = "documents") -> str:
     """Exact twin of dedup.simhash64: two independent 32-bit halves
     from md5 hex slices [1..8] / [9..16], 64 conditional sums in one

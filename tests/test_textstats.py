@@ -48,3 +48,38 @@ def test_word_count_nbsp_matches_oracle_class(spark):
         [(1, "one two　three four")], "doc_id long, text string"
     )
     assert text_profile(docs).collect()[0]["n_words"] == 4
+
+
+def test_unigram_logprob_scores(spark):
+    """Corpus-trained unigram mean log-likelihood: brute-force python
+    twin; a gibberish (all-rare-token) doc scores far below docs made
+    of corpus-common tokens, and empty docs are excluded."""
+    import math
+
+    import pytest
+
+    from oboyu_spark.functions.text import py_tokenize
+    from oboyu_spark.operators.textstats import unigram_logprob_scores
+
+    rows = [
+        (1, "spark query spark query spark join"),
+        (2, "spark query join table"),
+        (3, "zzqx wvrk bbnp qqrs"),  # gibberish: every token unique
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in unigram_logprob_scores(docs).collect()}
+    # python twin
+    toks = {d: py_tokenize(t) for d, t in rows}
+    from collections import Counter
+    cf = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cf.values())
+    for d, ts in toks.items():
+        if not ts:
+            assert d not in got
+            continue
+        exp = sum(math.log(cf[t] / total) for t in ts) / len(ts)
+        assert got[d][0] == len(ts)
+        assert got[d][1] == pytest.approx(exp, rel=1e-12)
+    assert got[3][1] < got[1][1]  # gibberish scores lower
