@@ -261,6 +261,14 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(_docs(spark, sf_dir), round_digits=ROUND)
 
 
+def _q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf-idf keyword extraction per doc (engine ln-IDF, rounded-rank
+    # tie-break) — exact DuckDB twin
+    from oboyu_spark.operators.textstats import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(spark, sf_dir), k=5, round_digits=ROUND)
+
+
 def _q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (one shuffle, partition-local windows)
     # over the events table; per-session rollup with epoch-second
@@ -628,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "token_counts": _q_token_counts,
         "unigram_logprob": _q_unigram_logprob,
+        "top_terms_per_doc": _q_top_terms_per_doc,
         "sessionized_events": _q_sessionized_events,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_near_pairs": _q_winnow_near_pairs,
@@ -690,6 +699,7 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "text_profile": O.text_profile_sql(),
         "token_counts": O.token_counts_sql(),
         "unigram_logprob": O.unigram_logprob_sql(),
+        "top_terms_per_doc": O.top_terms_per_doc_sql(k=5),
         "sessionized_events": O.sessionized_events_sql(gap_minutes=30),
         "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
         "chunk_documents_fixed": O.chunk_documents_fixed_sql(

@@ -191,3 +191,56 @@ def unigram_logprob_scores(
             F.round("avg_logprob", round_digits).alias("avg_logprob"),
         )
     return scored
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """(doc_id, term, rank, tfidf) — the top-k highest tf·idf terms of
+    every document: keyword extraction / doc labeling for corpus
+    triage, using the ENGINE's ln-IDF (idf_expr — no +1, negative for
+    df > N/2, so corpus-dominant words rank themselves out) with the
+    engine's N contract (every doc counts, token-empty included).
+    Ties break (tfidf desc, term asc) — deterministic output.
+
+    100 TB shape: the tf explode/aggregate, one term-keyed join
+    against the (much smaller) vocabulary, and one window shuffle on
+    doc_id over tf rows; the N row is a broadcast singleton."""
+    from pyspark.sql import Window
+
+    from .termindex import idf_expr, term_frequencies, vocabulary
+
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    vocab = vocabulary(tf)
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("total_documents")
+    )
+    scored = (
+        tf.join(vocab.select("term", "document_frequency"), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (
+                F.col("tf")
+                * idf_expr(F.col("document_frequency"),
+                           F.col("total_documents"))
+            ).alias("tfidf"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.select(
+            "doc_id", "term",
+            F.round("tfidf", round_digits).alias("tfidf"),
+        )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tfidf")
+    )

@@ -387,6 +387,28 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def top_terms_per_doc_sql(k: int = 5, table: str = "documents") -> str:
+    """Exact twin of textstats.top_terms_per_doc: tf * ln-IDF (engine
+    variant, every doc counts toward N), rank on the ROUNDED score,
+    ties (tfidf desc, term asc)."""
+    return f"""WITH {tf_cte(table)},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS nd FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.nd - vocab.df + 0.5) / (vocab.df + 0.5)),
+               {ROUND}) AS tfidf
+  FROM tf JOIN vocab USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC)::INT AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank, tfidf FROM ranked WHERE rank <= {k}"""
+
+
 def unigram_logprob_sql(table: str = "documents") -> str:
     """Exact twin of textstats.unigram_logprob_scores: corpus-trained
     unigram LM, mean token log-likelihood per doc, 6dp rounded."""

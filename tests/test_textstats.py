@@ -83,3 +83,26 @@ def test_unigram_logprob_scores(spark):
         assert got[d][0] == len(ts)
         assert got[d][1] == pytest.approx(exp, rel=1e-12)
     assert got[3][1] < got[1][1]  # gibberish scores lower
+
+
+def test_top_terms_per_doc(spark):
+    """tf-idf keyword extraction: rare distinguishing terms outrank
+    corpus-common ones; k bound and deterministic tie-break hold."""
+    from oboyu_spark.operators.textstats import top_terms_per_doc
+
+    rows = [
+        (1, "spark spark spark quantum flux"),
+        (2, "spark table join query engine"),
+        (3, "spark table join query engine"),
+        (4, "spark table join query engine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in top_terms_per_doc(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for d in got:
+        got[d] = [t for _, t in sorted(got[d])]
+        assert len(got[d]) <= 2
+    # doc 1's distinguishing rare terms beat 'spark' (df=4 of 4 ->
+    # strongly negative idf) despite tf=3
+    assert set(got[1]) == {"quantum", "flux"}
