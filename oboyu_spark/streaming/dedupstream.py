@@ -1,0 +1,78 @@
+"""Structured-Streaming exact deduplication — the ingestion-side guard
+a training-data pipeline puts in front of its raw document stream.
+
+The batch operator (operators/dedup.dedup_exact) sees the whole corpus;
+on a stream, duplicates arrive across micro-batches, so the drop must
+carry STATE (the set of fingerprints already seen). Two modes, the
+standard Spark state/size trade-off made explicit:
+
+- ``watermark=None`` (exact-forever): ``dropDuplicates`` on the
+  content fingerprint — every duplicate is dropped no matter how far
+  apart the copies arrive, but the state store grows with the number
+  of DISTINCT documents ever seen (one fingerprint row each). Right
+  when distinct cardinality is bounded or re-crawl gaps are unbounded.
+- ``watermark="2 hours"`` (bounded-state): ``dropDuplicatesWithin
+  Watermark`` — fingerprints are evicted once the watermark passes
+  them, so state is bounded by the arrival-rate × horizon, and a
+  duplicate is guaranteed dropped only if it arrives within the
+  horizon of the first copy. Right for the 100 TB firehose, where
+  duplicate copies cluster in time (re-posts, mirror lag) and a
+  trickle of far-apart misses is acceptable (a batch dedup pass
+  downstream catches them).
+
+The emitted rows are the SURVIVORS (first arrival per fingerprint,
+content fingerprint = md5 of whitespace-collapsed text — the same
+fingerprint the batch operator and the docmap use, so survivors feed
+straight into append_docs / prepare_corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import fingerprint_md5
+
+DOC_SCHEMA = "doc_id string, text string, ts timestamp"
+
+
+def dedup_stream_frame(
+    stream: DataFrame,
+    watermark: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(doc_id, text, ts, fingerprint) survivors of streaming exact
+    dedup; see the module docstring for the two state modes."""
+    fp = stream.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+    if watermark is None:
+        return fp.dropDuplicates(["fingerprint"])
+    return fp.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    schema: str = DOC_SCHEMA,
+    trigger_once: bool = True,
+):
+    """Start (and by default run-once) the dedup stream writing
+    surviving documents to parquet. Re-running with the same checkpoint
+    resumes the seen-fingerprint state, so duplicates are dropped
+    across restarts too."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    out = dedup_stream_frame(stream, watermark=watermark)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -414,3 +414,92 @@ def test_stateful_sessionization_across_runs(spark, tmp_path):
     assert got == exp
     assert got[("c1", 2)] == got[("c1", 0)]      # continued across runs
     assert got[("c1", 3)] != got[("c1", 2)]      # gap opened new session
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in LATER micro-batches
+    (and across query restarts — checkpointed state) are dropped; the
+    survivor set equals the batch operator's keep-first-arrival set."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.streaming.dedupstream import dedup_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+
+    drop1 = [
+        ("a", "the quick brown fox", "2025-01-01 10:00:00"),
+        ("b", "a different document", "2025-01-01 10:01:00"),
+        ("c", "the  quick  brown fox", "2025-01-01 10:02:00"),  # ws-dup of a
+    ]
+    drop2 = [
+        ("d", "the quick brown fox", "2025-01-01 10:10:00"),   # cross-batch dup
+        ("e", "a brand new document", "2025-01-01 10:11:00"),
+    ]
+    _df(drop1).write.mode("append").parquet(inp)
+    q = dedup_stream(spark, inp, outp, chk)
+    q.awaitTermination(120)
+    _df(drop2).write.mode("append").parquet(inp)
+    q = dedup_stream(spark, inp, outp, chk)  # restart: state restored
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(outp)
+    fps = [r["fingerprint"] for r in got.collect()]
+    assert len(fps) == len(set(fps)) == 3  # a-or-c, b, e
+    ids = {r["doc_id"] for r in got.collect()}
+    assert "b" in ids and "e" in ids
+    assert "d" not in ids                  # cross-batch dup dropped
+    assert len(ids & {"a", "c"}) == 1      # exactly one of the ws-dups
+
+
+def test_streaming_dedup_bounded_state_mode(spark, tmp_path):
+    """dropDuplicatesWithinWatermark mode: in-horizon duplicates drop,
+    and the state-store row count is bounded by the watermark horizon
+    (evicted fingerprints disappear from numRowsTotal)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.streaming.dedupstream import dedup_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+
+    def _run():
+        q = dedup_stream(spark, inp, outp, chk, watermark="30 minutes")
+        q.awaitTermination(120)
+        rows = []
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            for op in d.get("stateOperators") or []:
+                rows.append(op["numRowsTotal"])
+        return max(rows) if rows else None
+
+    # drop 1: 30 distinct docs at 10:00 + one in-batch duplicate
+    rows = [(f"d{i}", f"document body number {i}", "2025-01-01 10:00:00")
+            for i in range(30)]
+    rows.append(("dup0", "document body number 0", "2025-01-01 10:05:00"))
+    _df(rows).write.mode("append").parquet(inp)
+    n1 = _run()
+    assert n1 is not None and n1 >= 30
+    # drop 2: 3h later — watermark advances far past every fingerprint
+    _df([("x1", "late fresh doc", "2025-01-01 13:00:00")]) \
+        .write.mode("append").parquet(inp)
+    _run()
+    # drop 3: the old fingerprints must be evicted by now
+    _df([("x2", "another fresh doc", "2025-01-01 13:05:00")]) \
+        .write.mode("append").parquet(inp)
+    n3 = _run()
+    assert n3 is not None and n3 <= 5, f"state not bounded: {n3}"
+    # exactly one of the two same-fingerprint rows survived (which one
+    # is batch-order-dependent); the duplicate itself was dropped
+    got = spark.read.parquet(outp)
+    assert got.filter(F.col("doc_id").isin(["d0", "dup0"])).count() == 1
