@@ -269,6 +269,15 @@ def _q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms_per_doc(_docs(spark, sf_dir), k=5, round_digits=ROUND)
 
 
+def _q_discovered_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-derived stopword discovery (df-ratio threshold) — feeds
+    # term_frequencies(stop_words=...) / the index build
+    from oboyu_spark.operators.textstats import discover_stopwords
+
+    return discover_stopwords(_docs(spark, sf_dir), max_df_ratio=0.3,
+                              round_digits=ROUND)
+
+
 def _q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (one shuffle, partition-local windows)
     # over the events table; per-session rollup with epoch-second
@@ -637,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "unigram_logprob": _q_unigram_logprob,
         "top_terms_per_doc": _q_top_terms_per_doc,
+        "discovered_stopwords": _q_discovered_stopwords,
         "sessionized_events": _q_sessionized_events,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_near_pairs": _q_winnow_near_pairs,
@@ -700,6 +710,7 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "token_counts": O.token_counts_sql(),
         "unigram_logprob": O.unigram_logprob_sql(),
         "top_terms_per_doc": O.top_terms_per_doc_sql(k=5),
+        "discovered_stopwords": O.discover_stopwords_sql(max_df_ratio=0.3),
         "sessionized_events": O.sessionized_events_sql(gap_minutes=30),
         "winnow_fingerprints": O.winnow_fingerprints_sql(k=8, window=4),
         "chunk_documents_fixed": O.chunk_documents_fixed_sql(

@@ -244,3 +244,44 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "rank", "tfidf")
     )
+
+
+def discover_stopwords(
+    docs: DataFrame,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """(term, document_frequency, df_ratio) for every term appearing in
+    more than ``max_df_ratio`` of the documents — corpus-derived
+    stopword discovery. The reference ships a static JP/EN list
+    (tokenizer stop-word filter, off by default); at 100 TB the
+    domain's own boilerplate vocabulary ("subject", "wrote", markup
+    remnants) is corpus-specific, so the list should be DERIVED and fed
+    back into ``term_frequencies(stop_words=...)`` / the index build.
+    N follows the engine contract (every doc counts, token-empty
+    included). One tokenize+explode and one term aggregate; the N row
+    is a broadcast singleton."""
+    from .termindex import term_frequencies, vocabulary
+
+    vocab = vocabulary(term_frequencies(docs, id_col=id_col,
+                                        text_col=text_col))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("total_documents")
+    )
+    out = (
+        vocab.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "document_frequency",
+            (F.col("document_frequency") / F.col("total_documents"))
+            .alias("df_ratio"),
+        )
+        .filter(F.col("df_ratio") > max_df_ratio)
+    )
+    if round_digits is not None:
+        out = out.select(
+            "term", "document_frequency",
+            F.round("df_ratio", round_digits).alias("df_ratio"),
+        )
+    return out

@@ -387,6 +387,20 @@ bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bitsums"""
 
 
+def discover_stopwords_sql(max_df_ratio: float = 0.5,
+                           table: str = "documents") -> str:
+    """Exact twin of textstats.discover_stopwords (engine N contract:
+    every document counts, token-empty included)."""
+    return f"""WITH {tf_cte(table)},
+vocab AS (SELECT term, count(*)::BIGINT AS document_frequency
+          FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS nd FROM {table})
+SELECT term, document_frequency,
+       round(document_frequency / n.nd, {ROUND}) AS df_ratio
+FROM vocab CROSS JOIN n
+WHERE document_frequency / n.nd > {max_df_ratio}"""
+
+
 def top_terms_per_doc_sql(k: int = 5, table: str = "documents") -> str:
     """Exact twin of textstats.top_terms_per_doc: tf * ln-IDF (engine
     variant, every doc counts toward N), rank on the ROUNDED score,

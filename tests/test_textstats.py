@@ -106,3 +106,21 @@ def test_top_terms_per_doc(spark):
     # doc 1's distinguishing rare terms beat 'spark' (df=4 of 4 ->
     # strongly negative idf) despite tf=3
     assert set(got[1]) == {"quantum", "flux"}
+
+
+def test_discover_stopwords_feeds_tokenizer(spark):
+    """The discovered list plugs into term_frequencies(stop_words=...):
+    terms above the df-ratio cut are found, and feeding them back
+    removes exactly those terms from the tf rows."""
+    from oboyu_spark.operators.termindex import term_frequencies
+    from oboyu_spark.operators.textstats import discover_stopwords
+
+    rows = [(i, f"common filler unique{i:02d}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sw = discover_stopwords(docs, max_df_ratio=0.5).collect()
+    found = {r["term"] for r in sw}
+    assert found == {"common", "filler"}
+    assert all(r["df_ratio"] == 1.0 for r in sw)
+    tf = term_frequencies(docs, stop_words=found)
+    terms = {r["term"] for r in tf.collect()}
+    assert terms.isdisjoint(found) and len(terms) == 10
