@@ -76,3 +76,38 @@ def dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def prepare_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_quality: float | None = 0.3,
+    watermark: str | None = None,
+    schema: str = DOC_SCHEMA,
+    trigger_once: bool = True,
+):
+    """Curate-on-arrival: streaming exact dedup composed with the
+    quality gate in ONE streaming plan (the quality predicate is a
+    stateless column expression, so it fuses into the scan before the
+    stateful dedup — junk never enters the fingerprint state), writing
+    curated documents to parquet. The streaming face of
+    pipeline.prepare_corpus's exact+quality stages; near-dedup stays a
+    batch pass over the curated output (pair joins need corpus-wide
+    candidate generation)."""
+    from ..operators.textstats import quality_score
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if min_quality is not None:
+        stream = stream.filter(quality_score(F.col("text")) >= min_quality)
+    out = dedup_stream_frame(stream, watermark=watermark)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -503,3 +503,51 @@ def test_streaming_dedup_bounded_state_mode(spark, tmp_path):
     # is batch-order-dependent); the duplicate itself was dropped
     got = spark.read.parquet(outp)
     assert got.filter(F.col("doc_id").isin(["d0", "dup0"])).count() == 1
+
+
+def test_prepare_stream_curates_on_arrival(spark, tmp_path):
+    """Streaming exact-dedup + quality gate in one plan: junk is
+    filtered BEFORE the stateful dedup (never enters fingerprint
+    state), duplicates drop across batches, survivors match the batch
+    pipeline's exact+quality stages."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.streaming.dedupstream import prepare_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    good = ("a long and reasonable document about distributed query "
+            "processing that passes the quality gate easily " * 3)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+
+    drop1 = [
+        ("a", good + "alpha", "2025-01-01 10:00:00"),
+        ("junk", "!!! ??? !!! ??? !!!", "2025-01-01 10:01:00"),
+    ]
+    drop2 = [
+        ("a2", good + "alpha", "2025-01-01 10:10:00"),   # cross-batch dup
+        ("b", good + "beta", "2025-01-01 10:11:00"),
+    ]
+    _df(drop1).write.mode("append").parquet(inp)
+    q = prepare_stream(spark, inp, outp, chk, min_quality=0.3)
+    q.awaitTermination(120)
+    _df(drop2).write.mode("append").parquet(inp)
+    q = prepare_stream(spark, inp, outp, chk, min_quality=0.3)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert got == {"a", "b"}  # junk gated, a2 deduped
+    # batch twin over the union (exact + quality, no near stage)
+    union = _df(drop1 + drop2).select("doc_id", "text")
+    batch = prepare_corpus(union, exact=True, near_threshold=None,
+                           min_quality=0.3, chunk_size=None)["docs"]
+    batch_fps = {r["fingerprint"] for r in batch.select(
+        F.md5(F.regexp_replace(F.trim("text"), r"\s+", " "))
+        .alias("fingerprint")).collect()}
+    stream_fps = {r["fingerprint"]
+                  for r in spark.read.parquet(outp).collect()}
+    assert stream_fps == batch_fps
