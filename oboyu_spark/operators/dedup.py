@@ -491,6 +491,120 @@ def connected_components(
     return labels
 
 
+def _banded_signatures(docs: DataFrame, num_perm: int, bands: int,
+                       n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, sig_0..sig_{P-1}, band_0..band_{B-1}) — signatures plus
+    the md5 band keys, one row per doc (the persisted layout of the
+    incremental minhash index)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, id_col, text_col)
+    band_cols = []
+    for bnd in range(bands):
+        cols = [f"sig_{bnd * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{bnd}"))
+    return sig.select("doc_id", *[F.col(f"sig_{i}") for i in range(num_perm)],
+                      *band_cols)
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the MinHash band index (signatures + band keys, one
+    parquet row per doc) so near-dup detection becomes INCREMENTAL:
+    each new batch is signed once and band-joined against this frame
+    (``minhash_index_append_pairs``) instead of re-shingling and
+    re-joining the whole corpus per refresh — at 100 TB the difference
+    between O(batch) and O(corpus) work per append. Parameters are
+    frozen in ``minhash.json`` (band keys are only comparable within
+    one parameterization)."""
+    import json
+    import os
+
+    banded = _banded_signatures(docs, num_perm, bands, n, id_col, text_col)
+    banded.write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/minhash.json", "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands, "n": n}, f)
+
+
+def minhash_index_append_pairs(
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sign the NEW batch, band-join it against the persisted index
+    (old corpus ∪ the batch itself), APPEND the new signatures to the
+    index, and return the estimated-Jaccard pairs involving at least
+    one new doc — exactly the pairs a full recompute would add.
+    (doc_a, doc_b, est_jaccard); doc_a < doc_b.
+
+    Shuffle shape: the band joins exchange only (doc_id, band key);
+    signatures re-attach after candidate dedup — the same width
+    discipline as minhash_lsh_pairs, but the joins' left side is the
+    BATCH, not the corpus. The append happens before pair computation
+    so a crash between the two leaves a complete index (pairs are
+    recomputable; signatures are not cheap)."""
+    import json
+
+    with open(f"{index_dir}/minhash.json") as f:
+        meta = json.load(f)
+    num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
+    new_banded = _banded_signatures(new_docs, num_perm, bands, n,
+                                    id_col, text_col)
+    new_banded.write.mode("append").parquet(f"{index_dir}/signatures")
+    # read back the FULL index (old ∪ new, both frozen on disk) and
+    # join the new batch's band keys against it
+    spark = new_docs.sparkSession
+    # dropDuplicates on doc_id: replay insurance — a re-appended batch
+    # must not double the signature rows feeding the verify joins
+    all_banded = spark.read.parquet(f"{index_dir}/signatures") \
+        .dropDuplicates(["doc_id"])
+    cand = None
+    for bnd in range(bands):
+        a = new_banded.select(F.col("doc_id").alias("new_id"),
+                              F.col(f"band_{bnd}").alias("bkey"))
+        b = all_banded.select(F.col("doc_id").alias("other_id"),
+                              F.col(f"band_{bnd}").alias("bkey"))
+        p = (
+            a.join(b, "bkey")
+            .filter(F.col("new_id") != F.col("other_id"))
+            .select(
+                F.least("new_id", "other_id").alias("doc_a"),
+                F.greatest("new_id", "other_id").alias("doc_b"),
+            )
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    sig_a = all_banded.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_perm)],
+    )
+    sig_b = all_banded.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_perm)],
+    )
+    cand = cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -299,3 +299,50 @@ def test_simhash64_halves_and_pairs(spark, docs):
            for r in D.simhash64_near_pairs(docs, max_hamming=budget).collect()}
     assert got == exp
     assert got.get((1, 2)) == 0 and got.get((7, 8)) == 0  # exact dups
+
+
+def test_minhash_incremental_index(spark, tmp_path):
+    """minhash_index_build + append_pairs: the pairs returned for an
+    appended batch equal the full-recompute pair set restricted to
+    pairs touching the batch, and a second append sees the first
+    append's docs (the index grew)."""
+    d = str(tmp_path / "mhidx")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows_old = [
+        (1, base + " alpha"),
+        (2, base + " alpha beta"),
+        (5, "completely different content about spark indexes today"),
+    ]
+    rows_new = [
+        (3, base + " alpha gamma"),       # near-dup of 1 and 2
+        (6, "yet another unrelated piece of text entirely here"),
+    ]
+    rows_new2 = [
+        (4, base + " alpha gamma delta"),  # near-dup of 3 (an APPENDED doc)
+    ]
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    new2 = spark.createDataFrame(rows_new2, "doc_id long, text string")
+
+    D.minhash_index_build(old, d, num_perm=16, bands=8)
+    got1 = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in D.minhash_index_append_pairs(new, d,
+                                                  threshold=0.4).collect()}
+    # full-recompute oracle over old ∪ new, restricted to pairs
+    # touching the batch
+    union = spark.createDataFrame(rows_old + rows_new,
+                                  "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in D.minhash_lsh_pairs(union, num_perm=16, bands=8,
+                                         threshold=0.4).collect()}
+    new_ids = {3, 6}
+    exp1 = {p: j for p, j in full.items()
+            if p[0] in new_ids or p[1] in new_ids}
+    assert got1 == exp1 and (1, 3) in got1
+    # second append: doc 4 must pair with doc 3 (which arrived via the
+    # FIRST append — proves the index grew)
+    got2 = {(r["doc_a"], r["doc_b"])
+            for r in D.minhash_index_append_pairs(new2, d,
+                                                  threshold=0.4).collect()}
+    assert (3, 4) in got2
