@@ -545,6 +545,17 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         round_digits=ROUND)
 
 
+def _q_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-probe LSH (Lv et al. 2007): smallest-margin neighbor-bucket
+    # flips buy extra recall at zero index cost; probe set is exact
+    # integer arithmetic → same exact-oracle story as lsh_ann_topk
+    from oboyu_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, QVEC, k=10, bits=8, n_tables=2,
+                        multi_probe=3, round_digits=ROUND)
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN over the seeded integer coarse quantizer with quantized
     # (exact-integer) assignment — bit-identical candidate set in
@@ -670,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepared_docs_components": _q_prepared_docs_components,
         "prepared_docs_winnow": _q_prepared_docs_winnow,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "lsh_ann_multiprobe": _q_lsh_ann_multiprobe,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
         "embed_docs": _q_embed_docs,
@@ -734,6 +746,8 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "hybrid_topk": O.hybrid_topk_sql(BM25_Q1, QVEC, k_each=20, limit=10),
         "snippets": O.snippets_sql(BM25_Q1, k=10),
         "lsh_ann_topk": O.lsh_ann_topk_sql(QVEC, k=10, bits=6, n_tables=4),
+        "lsh_ann_multiprobe": O.lsh_ann_topk_sql(QVEC, k=10, bits=8,
+                                                 n_tables=2, multi_probe=3),
         "ivf_ann_topk": O.ivf_ann_topk_sql(QVEC, k=10, n_lists=8,
                                            nprobe=3, seed=42),
         "reranked_topk": O.reranked_topk_sql(BM25_Q1, limit=10,

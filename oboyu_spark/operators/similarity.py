@@ -118,16 +118,31 @@ def lsh_bucket_udf(dim: int, bits: int = 12, n_tables: int = 2,
 
 
 def lsh_query_buckets(query_vec: Sequence[float], bits: int,
-                      n_tables: int, seed: int) -> list[tuple[int, int]]:
+                      n_tables: int, seed: int,
+                      multi_probe: int = 0) -> list[tuple[int, int]]:
     """[(table, bucket)] probes for a query vector — same quantized
-    integer arithmetic as the distributed side."""
+    integer arithmetic as the distributed side.
+
+    ``multi_probe=M`` adds, per table, the M neighboring buckets
+    obtained by flipping the sign bits with the SMALLEST |dot| margin
+    (the Lv et al. 2007 multi-probe idea): a vector near a hyperplane
+    is the one most likely to land across it, so probing those flips
+    buys most of an extra table's recall at zero index cost. The
+    margin order is an exact-integer comparison (quantized dots), ties
+    broken on the bit index — fully deterministic, so the DuckDB
+    oracle reproduces the probe set by calling this same function."""
     q = _quantize(np.asarray(query_vec, dtype=np.float64))
     powers = (2 ** np.arange(bits)).astype(np.int64)
     out = []
     for t in range(n_tables):
         planes = _hyperplanes(len(q), bits, t, seed)
-        bucket = int(((planes @ q) > 0).astype(np.int64) @ powers)
+        dots = planes @ q  # exact integers
+        bucket = int((dots > 0).astype(np.int64) @ powers)
         out.append((t, bucket))
+        if multi_probe:
+            flip = np.lexsort((np.arange(bits), np.abs(dots)))[:multi_probe]
+            for i in flip:
+                out.append((t, bucket ^ (1 << int(i))))
     return out
 
 
@@ -158,11 +173,16 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only vectors sharing a bucket with the query in
-    any table (exact cosine over the candidate set)."""
+    any table (exact cosine over the candidate set). ``multi_probe``:
+    additionally probe that many smallest-margin neighbor buckets per
+    table (see lsh_query_buckets) — recall of extra tables without the
+    index width."""
     dim = len(query_vec)
-    probes = lsh_query_buckets(query_vec, bits, n_tables, seed)
+    probes = lsh_query_buckets(query_vec, bits, n_tables, seed,
+                               multi_probe=multi_probe)
     bucketed = lsh_bucketize(embeddings, dim, bits, n_tables, seed,
                              id_col, vec_col)
     probe_df = bucketed.sparkSession.createDataFrame(

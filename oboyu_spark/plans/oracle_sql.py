@@ -993,16 +993,19 @@ bk AS (
 
 
 def lsh_ann_topk_sql(query_vec: list[float], k: int = 10, bits: int = 6,
-                     n_tables: int = 4, seed: int = 42) -> str:
+                     n_tables: int = 4, seed: int = 42,
+                     multi_probe: int = 0) -> str:
     """Exact twin of similarity.lsh_ann_topk: the candidate set is
-    every vector sharing the query's bucket in ANY table (same probes,
-    computed by the same integer arithmetic), scored by exact cosine
-    rounded to {ROUND} with the (cosine desc, vec_id asc) tie-break."""
+    every vector sharing ANY of the query's probe buckets (same probes
+    — incl. multi-probe neighbor flips — computed by the same integer
+    arithmetic via the same function), scored by exact cosine rounded
+    to {ROUND} with the (cosine desc, vec_id asc) tie-break."""
     import math
 
     from ..operators.similarity import lsh_query_buckets
 
-    probes = lsh_query_buckets(query_vec, bits, n_tables, seed)
+    probes = lsh_query_buckets(query_vec, bits, n_tables, seed,
+                               multi_probe=multi_probe)
     probe_pred = " OR ".join(f"b_{t} = {b}" for t, b in probes)
     qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
     qnorm = repr(math.sqrt(sum(float(x) * float(x) for x in query_vec)))

@@ -339,3 +339,23 @@ def test_ivf_append(spark, emb_df, vectors, tmp_path):
     found = {r["vec_id"]
              for r in S.ivf_search(spark, d, q, k=3, nprobe=8).collect()}
     assert 260 in found
+
+
+def test_lsh_multiprobe_recall(spark, emb_df, vectors):
+    """Multi-probe supersets the single-probe candidate set and lifts
+    recall at fixed table count; probe list shape and determinism."""
+    q = [float(x) for x in vectors[20]]
+    probes0 = S.lsh_query_buckets(q, bits=8, n_tables=2, seed=42)
+    probes3 = S.lsh_query_buckets(q, bits=8, n_tables=2, seed=42,
+                                  multi_probe=3)
+    assert len(probes0) == 2 and len(probes3) == 2 * 4
+    assert set(probes0) <= set(probes3)
+    assert probes3 == S.lsh_query_buckets(q, bits=8, n_tables=2, seed=42,
+                                          multi_probe=3)  # deterministic
+    single = {r["vec_id"] for r in S.lsh_ann_topk(
+        emb_df, q, k=10, bits=8, n_tables=2).collect()}
+    multi = {r["vec_id"] for r in S.lsh_ann_topk(
+        emb_df, q, k=10, bits=8, n_tables=2, multi_probe=3).collect()}
+    exact = {r["vec_id"] for r in S.cosine_topk(emb_df, q, k=10).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert 20 in multi and 21 in multi  # planted pair found
