@@ -520,6 +520,30 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5)
 
 
+def _q_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental near-dup maintenance: persisted MinHash band index
+    # over documents, then ONE batch (the planted +1000000 duplicates)
+    # appended and band-joined against it — O(batch) per refresh. The
+    # oracle is the full-recompute pair SQL over dupdocs restricted to
+    # pairs touching the batch (pinned equivalent by construction).
+    import atexit
+    import shutil
+    import tempfile
+
+    from oboyu_spark.operators.dedup import (
+        minhash_index_build, minhash_index_append_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d = tempfile.mkdtemp(prefix="oboyu_entry_mh_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    minhash_index_build(docs, d, num_perm=16, bands=8)
+    return minhash_index_append_pairs(batch, d, threshold=0.5)
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected components (iterative min-label propagation, plain
     # DataFrame self-joins) over the MinHash+LSH pair graph — the
@@ -676,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "chunk_documents_fixed": _q_chunk_documents_fixed,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_incremental_pairs": _q_minhash_incremental_pairs,
         "near_dup_components": _q_near_dup_components,
         "prepared_docs": _q_prepared_docs,
         "prepared_docs_components": _q_prepared_docs_components,
@@ -766,6 +791,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(
             num_perm=16, bands=8, threshold=0.5
         ),
+        "minhash_incremental_pairs": f"""
+WITH q AS ({O.minhash_lsh_pairs_sql(num_perm=16, bands=8, threshold=0.5)})
+SELECT * FROM q WHERE doc_a >= 1000000 OR doc_b >= 1000000""",
         "near_dup_components": O.near_dup_components_sql(
             num_perm=16, bands=8, threshold=0.5
         ),

@@ -158,3 +158,36 @@ def test_connected_components_iteration_is_equijoin(spark):
     plan = _plan(step)
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan
+
+
+def test_minhash_append_band_join_is_slim(spark, corpus, tmp_path):
+    """The incremental append's band joins must exchange only
+    (id, band key) — signatures re-attach after candidate dedup, and
+    no text column rides any band-join shuffle."""
+    import re
+
+    from oboyu_spark.operators.dedup import (
+        minhash_index_append_pairs, minhash_index_build,
+    )
+
+    d = str(tmp_path / "mhplan")
+    minhash_index_build(corpus, d, num_perm=16, bands=4)
+    batch = corpus.limit(20)
+    df = minhash_index_append_pairs(batch, d, threshold=0.5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the band join is either a broadcast of the (small) batch side —
+    # zero shuffle, what AQE picks here — or, at scale, a bkey
+    # exchange; in the latter case it must carry only (id, bkey)
+    bkey_exchanges = [
+        blk for blk in re.split(r"\n\(\d+\) ", plan)
+        if blk.startswith("Exchange") and "hashpartitioning(bkey" in blk
+    ]
+    if not bkey_exchanges:
+        assert "BroadcastHashJoin" in plan, plan
+    for blk in bkey_exchanges:
+        assert "text" not in blk and "sig_" not in blk, blk
+    # no text column through ANY exchange of the pair plan
+    for blk in re.split(r"\n\(\d+\) ", plan):
+        if blk.startswith("Exchange") and "hashpartitioning" in blk:
+            assert "text#" not in blk, blk
