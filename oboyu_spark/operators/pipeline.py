@@ -30,6 +30,9 @@ Stage policies (the parts that are a decision, not a mechanism):
 - quality: keep documents with textstats.quality_score >=
   ``min_quality`` (composite length/punctuation/word-shape heuristic,
   deterministic column expression).
+- language: keep documents whose textstats.language_id is in
+  ``langs`` (ja/en/und heuristic) — the wrong-language cut every
+  monolingual training corpus applies.
 
 100 TB shape: exact dedup is one hash-aggregate; near dedup is the
 bucketed band join (no full cross product); quality is a zero-shuffle
@@ -110,6 +113,7 @@ def prepare_corpus(
     near_method: str = "minhash",
     near_winnow_max_fp_df: Optional[int] = 1000,
     min_quality: Optional[float] = None,
+    langs: "Optional[tuple[str, ...]]" = None,
     chunk_size: Optional[int] = 1024,
     chunk_overlap: int = 256,
     embed_dim: Optional[int] = None,
@@ -150,6 +154,13 @@ def prepare_corpus(
         out = out.join(drop, id_col, "left_anti")
     if min_quality is not None:
         out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    if langs is not None:
+        # language gate (textstats.language_id heuristic): like the
+        # quality gate, a stateless column predicate Catalyst fuses
+        # into the scan — zero extra shuffle
+        from .textstats import language_id
+
+        out = out.filter(language_id(F.col(text_col)).isin(list(langs)))
 
     chunks = None
     embeddings = None

@@ -157,3 +157,26 @@ def test_near_method_winnow(spark):
     assert kept == {1, 3}
     with pytest.raises(ValueError, match="method"):
         near_dup_drop_ids(docs, method="nope")
+
+
+def test_language_filter_stage(spark):
+    """langs=(...) keeps only documents whose language_id matches —
+    composed after quality, fused into the scan (no new shuffle)."""
+    rows = [
+        (1, "a perfectly ordinary english document about spark jobs "
+            "and cluster scheduling that is long enough to pass " * 2),
+        (2, "日本語の文書です。分散処理と転置索引の話題を扱います。"
+            "これは品質フィルタを通過する長さがあります。" * 2),
+        (3, "?!?! ... ----"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    en = {r["doc_id"] for r in prepare_corpus(
+        docs, exact=True, near_threshold=None, min_quality=None,
+        langs=("en",), chunk_size=None)["docs"].collect()}
+    ja = {r["doc_id"] for r in prepare_corpus(
+        docs, exact=True, near_threshold=None, min_quality=None,
+        langs=("ja",), chunk_size=None)["docs"].collect()}
+    both = {r["doc_id"] for r in prepare_corpus(
+        docs, exact=True, near_threshold=None, min_quality=None,
+        langs=("en", "ja"), chunk_size=None)["docs"].collect()}
+    assert en == {1} and ja == {2} and both == {1, 2}
