@@ -506,6 +506,54 @@ def _banded_signatures(docs: DataFrame, num_perm: int, bands: int,
                       *band_cols)
 
 
+def _signature_batches(index_dir: str) -> list[int]:
+    """Sorted batch ordinals present under ``signatures/batch=N``."""
+    import os
+
+    sig_dir = os.path.join(index_dir, "signatures")
+    if not os.path.isdir(sig_dir):
+        return []
+    out = []
+    for name in os.listdir(sig_dir):
+        if name.startswith("batch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _clean_partial_batches(index_dir: str) -> None:
+    """Drop batch dirs without a ``_SUCCESS`` marker — debris from a
+    crashed append. A half-committed batch must never feed the read
+    side (same frozen-files discipline as the postings staging)."""
+    import os
+    import shutil
+
+    sig_dir = os.path.join(index_dir, "signatures")
+    for b in _signature_batches(index_dir):
+        d = os.path.join(sig_dir, f"batch={b}")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            shutil.rmtree(d)
+
+
+def minhash_index_signatures(spark, index_dir: str) -> DataFrame:
+    """The index's RESOLVED signature view: one row per doc_id, the
+    newest batch winning — a re-appended doc_id (replay, or changed
+    text) deterministically resolves to its latest signature. With a
+    single batch dir (fresh build, or post-``minhash_index_compact``)
+    the resolution window is skipped entirely."""
+    from pyspark.sql import Window
+
+    batches = _signature_batches(index_dir)
+    df = spark.read.parquet(f"{index_dir}/signatures")
+    if len(batches) <= 1:
+        return df.drop("batch")
+    w = Window.partitionBy("doc_id").orderBy(F.col("batch").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch")
+    )
+
+
 def minhash_index_build(
     docs: DataFrame,
     index_dir: str,
@@ -522,12 +570,17 @@ def minhash_index_build(
     re-joining the whole corpus per refresh — at 100 TB the difference
     between O(batch) and O(corpus) work per append. Parameters are
     frozen in ``minhash.json`` (band keys are only comparable within
-    one parameterization)."""
+    one parameterization).
+
+    Layout: each write lands in its own ``signatures/batch=N`` dir
+    (Spark partition-discovers ``batch`` on read), so appends never
+    touch existing files and replays resolve deterministically
+    (newest batch wins — see ``minhash_index_signatures``)."""
     import json
     import os
 
     banded = _banded_signatures(docs, num_perm, bands, n, id_col, text_col)
-    banded.write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    banded.write.mode("overwrite").parquet(f"{index_dir}/signatures/batch=0")
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/minhash.json", "w") as f:
         json.dump({"num_perm": num_perm, "bands": bands, "n": n}, f)
@@ -544,29 +597,38 @@ def minhash_index_append_pairs(
     (old corpus ∪ the batch itself), APPEND the new signatures to the
     index, and return the estimated-Jaccard pairs involving at least
     one new doc — exactly the pairs a full recompute would add.
-    (doc_a, doc_b, est_jaccard); doc_a < doc_b.
+    (doc_a, doc_b, est_jaccard); doc_a < doc_b. ``new_docs`` must
+    carry one row per doc_id (a batch is a set of documents).
 
     Shuffle shape: the band joins exchange only (doc_id, band key);
     signatures re-attach after candidate dedup — the same width
     discipline as minhash_lsh_pairs, but the joins' left side is the
-    BATCH, not the corpus. The append happens before pair computation
-    so a crash between the two leaves a complete index (pairs are
-    recomputable; signatures are not cheap)."""
+    BATCH, not the corpus.
+
+    Determinism discipline (ADVICE r4): the batch lineage is evaluated
+    EXACTLY ONCE — the write into ``signatures/batch=N``. Both sides
+    of the band join are then read back from the frozen files, so a
+    nondeterministic ``new_docs`` (limit/sample/shuffle-derived)
+    cannot make the persisted signatures and the pair computation see
+    different row sets. The append still precedes pair computation, so
+    a crash between the two leaves a complete index (pairs are
+    recomputable; signatures are not cheap); a crash MID-append leaves
+    a ``_SUCCESS``-less dir that the next append sweeps away."""
     import json
 
     with open(f"{index_dir}/minhash.json") as f:
         meta = json.load(f)
     num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
-    new_banded = _banded_signatures(new_docs, num_perm, bands, n,
-                                    id_col, text_col)
-    new_banded.write.mode("append").parquet(f"{index_dir}/signatures")
-    # read back the FULL index (old ∪ new, both frozen on disk) and
-    # join the new batch's band keys against it
+    _clean_partial_batches(index_dir)
+    batches = _signature_batches(index_dir)
+    ordinal = (batches[-1] + 1) if batches else 0
+    batch_path = f"{index_dir}/signatures/batch={ordinal}"
+    _banded_signatures(new_docs, num_perm, bands, n, id_col, text_col) \
+        .write.mode("overwrite").parquet(batch_path)
     spark = new_docs.sparkSession
-    # dropDuplicates on doc_id: replay insurance — a re-appended batch
-    # must not double the signature rows feeding the verify joins
-    all_banded = spark.read.parquet(f"{index_dir}/signatures") \
-        .dropDuplicates(["doc_id"])
+    # FROZEN batch rows — the only evaluation of new_docs was the write
+    new_banded = spark.read.parquet(batch_path)
+    all_banded = minhash_index_signatures(spark, index_dir)
     cand = None
     for bnd in range(bands):
         a = new_banded.select(F.col("doc_id").alias("new_id"),
@@ -603,6 +665,34 @@ def minhash_index_append_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def minhash_index_compact(spark, index_dir: str) -> None:
+    """Rewrite ``signatures/`` as ONE batch dir holding the resolved
+    view (newest signature per doc_id), dropping replay duplicates and
+    superseded rows — the maintenance counterpart of the postings
+    index's ``compact_index``. After compaction the read side skips
+    the per-doc resolution window entirely (single-batch fast path in
+    ``minhash_index_signatures``), so every future append pays only
+    its own batch's work.
+
+    Swap discipline: write to a sibling dir, rename the old layout
+    aside, rename the new one in, then delete the old — a crash leaves
+    either the old or the new layout intact (plus at worst a stale
+    ``signatures_old`` to sweep), never a half-deleted index."""
+    import os
+    import shutil
+
+    _clean_partial_batches(index_dir)
+    resolved = minhash_index_signatures(spark, index_dir)
+    tmp = f"{index_dir}/signatures_compacting"
+    resolved.write.mode("overwrite").parquet(f"{tmp}/batch=0")
+    old = f"{index_dir}/signatures_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(f"{index_dir}/signatures", old)
+    os.rename(tmp, f"{index_dir}/signatures")
+    shutil.rmtree(old)
 
 
 # ---------------------------------------------------------------------------
