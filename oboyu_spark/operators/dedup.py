@@ -797,17 +797,44 @@ def simhash64(
     return sums.select(*out_cols)
 
 
+def _drop_hot_buckets(keyed: DataFrame, max_bucket_df: "int | None",
+                      key_col: str = "bkey") -> DataFrame:
+    """Scale guard shared by the simhash band joins: drop bucket keys
+    with df > ``max_bucket_df`` from candidate generation (semi-join
+    against the cool keys — the same df-cap shape as
+    ``ngram_jaccard_pairs``/``winnow_near_pairs``). A simhash segment
+    key is only ~8-10 bits wide, so boilerplate corpora concentrate
+    huge doc sets on a few keys and the unguarded triangle join goes
+    quadratic per bucket; the exact hamming verify downstream keeps
+    every EMITTED pair true, so the cap trades only recall — a pair
+    whose every shared segment is hotter than the cap is missed."""
+    if not max_bucket_df:
+        return keyed
+    cool = (
+        keyed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") <= max_bucket_df)
+        .select(key_col)
+    )
+    return keyed.join(cool, key_col, "left_semi")
+
+
 def simhash64_near_pairs(
     docs: DataFrame,
     max_hamming: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_df: "int | None" = 1000,
 ) -> DataFrame:
     """64-bit near-dup pairs: band the (lo, hi) fingerprint into
     ``max_hamming + 1`` segments across the two halves (pigeonhole —
     any pair within the hamming budget shares at least one full
     segment), bucket-join, verify the exact 64-bit hamming distance
-    (bit_count of both halves' XORs)."""
+    (bit_count of both halves' XORs).
+
+    ``max_bucket_df`` (ON by default) caps the per-band bucket df —
+    see ``_drop_hot_buckets``; ``None`` opts out (exhaustive pigeonhole
+    recall, only safe on boilerplate-free corpora)."""
     sh = simhash64(docs, id_col, text_col)
     n_bands = max_hamming + 1
     # segment the 64 bits round-robin across bands: band b owns bits
@@ -824,12 +851,16 @@ def simhash64_near_pairs(
                 )
             return expr
         key = (seg("sim_lo", 0) * F.lit(1 << 32) + seg("sim_hi", 32))
-        a = sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("sim_lo").alias("la"),
-                      F.col("sim_hi").alias("ha"), key.alias("bkey"))
-        b_ = sh.select(F.col("doc_id").alias("doc_b"),
-                       F.col("sim_lo").alias("lb"),
-                       F.col("sim_hi").alias("hb"), key.alias("bkey"))
+        keyed = _drop_hot_buckets(
+            sh.select("doc_id", "sim_lo", "sim_hi", key.alias("bkey")),
+            max_bucket_df,
+        )
+        a = keyed.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sim_lo").alias("la"),
+                         F.col("sim_hi").alias("ha"), "bkey")
+        b_ = keyed.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sim_lo").alias("lb"),
+                          F.col("sim_hi").alias("hb"), "bkey")
         p = a.join(b_, "bkey").filter(F.col("doc_a") < F.col("doc_b")) \
             .drop("bkey")
         cand = p if cand is None else cand.unionByName(p)
@@ -850,10 +881,13 @@ def simhash_near_pairs(
     band_bits: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_df: "int | None" = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint (pigeonhole —
     hamming ≤ k pairs share ≥1 of k+1 bands), bucket-join, verify exact
-    hamming distance with bit_count."""
+    hamming distance with bit_count. ``max_bucket_df`` caps the
+    per-band bucket df (see ``_drop_hot_buckets``); ``None`` opts
+    out."""
     sh = simhash(docs, bits, id_col, text_col)
     n_bands = max_hamming + 1
     width = bits // n_bands
@@ -862,12 +896,13 @@ def simhash_near_pairs(
         key = F.shiftright(F.col("simhash"), bnd * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        a = sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("ha"), key.alias("bkey"))
-        b = sh.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("hb"),
-                      F.shiftright(F.col("simhash"), bnd * width)
-                      .bitwiseAND(F.lit((1 << width) - 1)).alias("bkey"))
+        keyed = _drop_hot_buckets(
+            sh.select("doc_id", "simhash", key.alias("bkey")), max_bucket_df
+        )
+        a = keyed.select(F.col("doc_id").alias("doc_a"),
+                         F.col("simhash").alias("ha"), "bkey")
+        b = keyed.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("hb"), "bkey")
         p = a.join(b, "bkey").filter(F.col("doc_a") < F.col("doc_b")).drop("bkey")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.dropDuplicates(["doc_a", "doc_b"])

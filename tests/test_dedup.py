@@ -301,6 +301,29 @@ def test_simhash64_halves_and_pairs(spark, docs):
     assert got.get((1, 2)) == 0 and got.get((7, 8)) == 0  # exact dups
 
 
+def test_simhash_hot_bucket_cap(spark):
+    """max_bucket_df (VERDICT r4 #3): a degenerate segment shared by
+    many boilerplate docs is dropped from candidate generation (the
+    band self-join stays sub-quadratic), while pairs in cool buckets
+    are still found; cap=None keeps exhaustive pigeonhole recall."""
+    boiler = [(i, "identical boilerplate footer text repeated verbatim "
+               "across the whole scraped site every single page")
+              for i in range(1, 31)]
+    pair = [(101, "a genuinely unique pair of near duplicate rows here"),
+            (102, "a genuinely unique pair of near duplicate rows here")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    for fn in (D.simhash_near_pairs, D.simhash64_near_pairs):
+        capped = {(r["doc_a"], r["doc_b"])
+                  for r in fn(docs, max_bucket_df=5).collect()}
+        # every boilerplate bucket holds 30 docs > cap → those pairs
+        # are traded away; the cool (101,102) pair survives
+        assert capped == {(101, 102)}, (fn.__name__, capped)
+        full = {(r["doc_a"], r["doc_b"])
+                for r in fn(docs, max_bucket_df=None).collect()}
+        assert (1, 2) in full and (101, 102) in full
+        assert len(full) == 30 * 29 // 2 + 1, fn.__name__
+
+
 def test_minhash_incremental_index(spark, tmp_path):
     """minhash_index_build + append_pairs: the pairs returned for an
     appended batch equal the full-recompute pair set restricted to
