@@ -78,21 +78,20 @@ def _q_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_Q1 = "spark query join table"
 BM25_Q2 = "customer order group stream"
-BM25_Q3 = "fast fast scan"  # duplicate term → list semantics (qtf=2)
 LIKE_TERMS = ["fast", "table"]
+
+# r5 driver-cap retirements (VERDICT r4 #1 — the driver records at most
+# 50 entries): bm25_topk_2 / bm25_topk_dup_terms (same code path as
+# bm25_topk; dup-term list semantics stay pinned by tests/test_bm25.py),
+# simhash + simhash_near_pairs (subsumed by simhash64, whose lo half IS
+# simhash(bits=32); 32-bit pairs stay pinned by tests/test_dedup.py),
+# chunk_documents (rows-only free-text variant; reference parity pinned
+# by tests/test_chunker.py, exact sibling chunk_documents_fixed stays).
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q1-Q5: full BM25 top-k pipeline
     return B.bm25_search(_docs(spark, sf_dir), BM25_Q1, k=20, round_digits=ROUND)
-
-
-def _q_bm25_topk_2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return B.bm25_search(_docs(spark, sf_dir), BM25_Q2, k=20, round_digits=ROUND)
-
-
-def _q_bm25_topk_dup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return B.bm25_search(_docs(spark, sf_dir), BM25_Q3, k=20, round_digits=ROUND)
 
 
 def _q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,12 +353,6 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs(spark, sf_dir), num_perm=4)
 
 
-def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oboyu_spark.operators.dedup import simhash
-
-    return simhash(_docs(spark, sf_dir), bits=32)
-
-
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oboyu_spark.operators.similarity import cosine_topk
 
@@ -386,16 +379,6 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = B.bm25_search(docs, RRF_QB, k=20, round_digits=ROUND)
     fused = rrf_fuse(a, b, limit=10)
     return fused.select("doc_id", F.round("score", ROUND).alias("score"))
-
-
-# rows-only entries (non-SQL-expressible: numpy k-means, chunk text)
-
-def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # banded (pigeonhole) candidates + exact hamming verify — must equal
-    # the oracle's exhaustive O(n²) pair scan exactly
-    from oboyu_spark.operators.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3)
 
 
 def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,17 +426,10 @@ def _q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(emb, threshold=0.3, bits=6, n_tables=8)
 
 
-def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oboyu_spark.operators.chunker import chunk_documents
-
-    return chunk_documents(_docs(spark, sf_dir), chunk_size=300,
-                           chunk_overlap=75)
-
-
 def _q_chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-stride relational chunker (no snapping, no UDF) — the
-    # exact-oracle member of the chunker family; the snapping variant
-    # above stays rows-only + reference-pinned by pytest
+    # exact-oracle member of the chunker family; the free-text snapping
+    # variant (chunk_documents) stays reference-pinned by pytest
     from oboyu_spark.operators.chunker import chunk_documents_fixed
 
     return chunk_documents_fixed(_docs(spark, sf_dir), chunk_size=300,
@@ -509,6 +485,26 @@ def _q_prepared_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r["docs"].select(
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_prepared_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the pipeline's LANGUAGE stage under the exact-oracle gate
+    # (VERDICT r4 #5): exact dedup → quality → langs=("en",), with the
+    # language_id value itself emitted so the heuristic is hash-checked
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.operators.textstats import (
+        fingerprint_md5, language_id, quality_score,
+    )
+
+    r = prepare_corpus(_dupdocs(spark, sf_dir), exact=True,
+                       near_threshold=None, min_quality=0.5,
+                       langs=("en",), chunk_size=None)
+    return r["docs"].select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        language_id(F.col("text")).alias("lang"),
         quality_score(F.col("text")).alias("quality"),
     )
 
@@ -658,6 +654,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # exactly 50 entries — the driver records at most 50 (VERDICT r4
+    # #1: the r4 artifact silently truncated a 54-entry dict); every
+    # operator keeps exactly one covering entry, and the four entries
+    # that fell out of the r4 artifact (embed_docs, corpus_stats,
+    # path_filtered, snippets) sit mid-dict, not at the tail
     return {
         "term_frequencies": _q_term_frequencies,
         "document_stats": _q_document_stats,
@@ -665,8 +666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": _q_collection_stats,
         "idf_scores": _q_idf_scores,
         "bm25_topk": _q_bm25_topk,
-        "bm25_topk_2": _q_bm25_topk_2,
-        "bm25_topk_dup_terms": _q_bm25_topk_dup_terms,
         "bm25_topk_conjunctive": _q_bm25_topk_conjunctive,
         "bm25_topk_lucene_idf": _q_bm25_topk_lucene_idf,
         "bm25_indexed_topk": _q_bm25_indexed_topk,
@@ -677,6 +676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_role_bm25": _q_transcripts_role_bm25,
         "transcripts_date_range": _q_transcripts_date_range,
+        "path_filtered": _q_path_filtered,
+        "snippets": _q_snippets,
+        "corpus_stats": _q_corpus_stats,
         "text_profile": _q_text_profile,
         "token_counts": _q_token_counts,
         "unigram_logprob": _q_unigram_logprob,
@@ -688,16 +690,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
-        "simhash": _q_simhash,
-        "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash64": _q_simhash64,
         "simhash64_near_pairs": _q_simhash64_near_pairs,
+        "embed_docs": _q_embed_docs,
         "weighted_fusion": _q_weighted_fusion,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "cosine_topk": _q_cosine_topk,
         "rrf_fusion": _q_rrf_fusion,
         "hybrid_topk": _q_hybrid_topk,
-        "chunk_documents": _q_chunk_documents,
         "chunk_documents_fixed": _q_chunk_documents_fixed,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_incremental_pairs": _q_minhash_incremental_pairs,
@@ -705,14 +705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepared_docs": _q_prepared_docs,
         "prepared_docs_components": _q_prepared_docs_components,
         "prepared_docs_winnow": _q_prepared_docs_winnow,
+        "prepared_docs_lang": _q_prepared_docs_lang,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_ann_multiprobe": _q_lsh_ann_multiprobe,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_features": _q_multimodal_features,
-        "embed_docs": _q_embed_docs,
-        "corpus_stats": _q_corpus_stats,
-        "path_filtered": _q_path_filtered,
-        "snippets": _q_snippets,
     }
 
 
@@ -724,8 +721,6 @@ def oracle_sql() -> dict[str, str]:
         "collection_stats": O.collection_stats_sql(),
         "idf_scores": O.idf_scores_sql(),
         "bm25_topk": O.bm25_topk_sql(BM25_Q1, k=20),
-        "bm25_topk_2": O.bm25_topk_sql(BM25_Q2, k=20),
-        "bm25_topk_dup_terms": O.bm25_topk_sql(BM25_Q3, k=20),
         "bm25_topk_conjunctive": O.bm25_topk_sql(BM25_Q1, k=20, mode="and"),
         "bm25_topk_lucene_idf": O.bm25_topk_sql(
             BM25_Q2, k=20, idf_variant="lucene_log10"
@@ -759,8 +754,6 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "exact_dup_groups": O.exact_dup_groups_sql(),
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),
         "minhash_signatures": O.minhash_signatures_sql(num_perm=4),
-        "simhash": O.simhash_sql(bits=32),
-        "simhash_near_pairs": O.simhash_near_pairs_sql(bits=32, max_hamming=3),
         "simhash64": O.simhash64_sql(),
         "simhash64_near_pairs": O.simhash64_near_pairs_sql(max_hamming=8),
         "weighted_fusion": O.weighted_fusion_sql(RRF_QA, RRF_QB, k=20,
@@ -785,6 +778,8 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
         "prepared_docs_winnow": O.prepared_docs_winnow_sql(
             threshold=0.3, max_fp_df=20, min_quality=0.5
         ),
+        "prepared_docs_lang": O.prepared_docs_lang_sql(min_quality=0.5,
+                                                       langs=("en",)),
         "embedding_near_pairs": O.lsh_near_pairs_sql(
             threshold=0.3, bits=6, n_tables=8, dim=len(QVEC)
         ),
@@ -807,7 +802,4 @@ FROM documents""",
 SELECT doc_id, source FROM documents
 WHERE regexp_matches(source, '^src.*$')
   AND NOT regexp_matches(source, '^src0$')""",
-        # chunk_documents (free-text bodies): intentionally no oracle
-        # → the driver records the weaker rows-only check; it carries
-        # reference-pinned chunker pytest verification instead.
     }

@@ -445,6 +445,82 @@ def ivf_append(
     )
 
 
+IVF_TOMBSTONE_ISIN_MAX = 10_000
+
+
+def ivf_load_tombstones(index_dir: str) -> list:
+    """Deleted vec_ids (raw key values), or [] — the IVF mirror of the
+    postings index's ``load_tombstones``."""
+    import json
+
+    try:
+        with open(f"{index_dir}/tombstones/vec_ids.json") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return []
+
+
+def ivf_delete(index_dir: str, vec_ids) -> None:
+    """Mark vectors deleted. Searches mask tombstoned ids immediately
+    (``ivf_search`` filters the probed candidates); the list files are
+    rewritten lazily by ``ivf_compact`` — the same delete-now /
+    rewrite-later split as the postings index's I4/I8 machinery (the
+    alternative, rewriting a partition per deletion, is exactly what a
+    10^12-vector index must not do). Idempotent; the sidecar swap is
+    atomic (tmp + replace)."""
+    import json
+    import os
+
+    tomb = set(ivf_load_tombstones(index_dir)) | set(vec_ids)
+    os.makedirs(f"{index_dir}/tombstones", exist_ok=True)
+    tmp = f"{index_dir}/tombstones/vec_ids.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(tomb), fh)
+    os.replace(tmp, f"{index_dir}/tombstones/vec_ids.json")
+
+
+def _mask_tombstones(cand: DataFrame, index_dir: str) -> DataFrame:
+    """Filter tombstoned vec_ids out of a candidate frame: a driver
+    ``isin`` literal while the set is small, a broadcast-able anti-join
+    frame above the cutoff (one giant In-expression is the wrong plan
+    for a large pre-compaction set — same rule as streaming/ingest)."""
+    tomb = ivf_load_tombstones(index_dir)
+    if not tomb:
+        return cand
+    if len(tomb) <= IVF_TOMBSTONE_ISIN_MAX:
+        return cand.filter(~F.col("vec_id").isin(tomb))
+    tomb_df = cand.sparkSession.createDataFrame(
+        [(x,) for x in tomb], ["vec_id"]
+    )
+    return cand.join(tomb_df, "vec_id", "left_anti")
+
+
+def ivf_compact(spark, index_dir: str) -> None:
+    """Rewrite ``lists/`` without tombstoned vectors and clear the
+    tombstones — the maintenance counterpart of ``ivf_delete``,
+    mirroring the postings ``compact_index``. Assignments are reused
+    verbatim (centroids are frozen; survivors keep their list_id), so
+    this is a partition-preserving filter-and-rewrite, not a rebuild.
+    Swap discipline: write aside, rename old out, rename new in."""
+    import os
+    import shutil
+
+    survivors = _mask_tombstones(
+        spark.read.parquet(f"{index_dir}/lists"), index_dir
+    )
+    tmp = f"{index_dir}/lists_compacting"
+    survivors.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    old = f"{index_dir}/lists_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(f"{index_dir}/lists", old)
+    os.rename(tmp, f"{index_dir}/lists")
+    shutil.rmtree(old)
+    tpath = f"{index_dir}/tombstones/vec_ids.json"
+    if os.path.exists(tpath):
+        os.remove(tpath)
+
+
 def ivf_load_sidecar(index_dir: str) -> dict:
     """Centroid sidecar as {centroids: ndarray, quantize: bool, ...};
     pre-round-4 sidecars carry no quantize key → False (they were
@@ -483,8 +559,11 @@ def ivf_search(
     probes = _probe_lists(meta["centroids"], query_vec, nprobe,
                           quantize=meta["quantize"])
     lists = spark.read.parquet(f"{index_dir}/lists")
-    cand = lists.filter(F.col("list_id").isin(probes)).select(
-        "vec_id", "embedding"
+    cand = _mask_tombstones(
+        lists.filter(F.col("list_id").isin(probes)).select(
+            "vec_id", "embedding"
+        ),
+        index_dir,
     )
     return cosine_topk(cand, query_vec, k, "vec_id", "embedding",
                        round_digits=round_digits)

@@ -265,6 +265,19 @@ def _quality_sql() -> str:
          {ROUND})"""
 
 
+def _lang_sql(col: str = "text") -> str:
+    """The language-id CASE over a text column — the exact twin of
+    textstats.language_id (dominant-character-class heuristic), shared
+    by text_profile_sql and prepared_docs_lang_sql."""
+    jp = f"(length({col}) - length(regexp_replace({col}, '{JP_RE2}', '', 'g')))"
+    latin = f"(length({col}) - length(regexp_replace({col}, '[a-zA-Z]', '', 'g')))"
+    return f"""CASE
+         WHEN {jp} + {latin} = 0 THEN 'und'
+         WHEN {jp} >= {latin} THEN 'ja'
+         ELSE 'en'
+       END"""
+
+
 def text_profile_sql(table: str = "documents") -> str:
     stops = ", ".join(f"'{s}'" for s in _EN_STOPS)
     return f"""
@@ -280,15 +293,7 @@ SELECT doc_id,
        len(toks)::INT AS n_tokens,
        len(list_filter(string_split_regex(text, '{WS_RE2}+'),
                        x -> length(x) > 0))::INT AS n_words,
-       CASE
-         WHEN (length(text) - length(regexp_replace(text, '{JP_RE2}', '', 'g')))
-              + (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) = 0
-           THEN 'und'
-         WHEN (length(text) - length(regexp_replace(text, '{JP_RE2}', '', 'g')))
-              >= (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
-           THEN 'ja'
-         ELSE 'en'
-       END AS lang,
+       {_lang_sql()} AS lang,
        round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
          (length(text) - length(regexp_replace(text, '{PUNCT_RE2}', '', 'g')))::DOUBLE
          / length(text) END, {ROUND}) AS punct_ratio,
@@ -953,6 +958,32 @@ base AS (
 SELECT doc_id, fingerprint, {_quality_sql()} AS quality
 FROM base
 WHERE {_quality_sql()} >= {min_quality}"""
+
+
+def prepared_docs_lang_sql(min_quality: float = 0.5,
+                           langs: "tuple[str, ...]" = ("en",)) -> str:
+    """Exact twin of pipeline.prepare_corpus's LANGUAGE stage composed
+    with exact dedup + quality (near-dedup skipped): keep the min-id
+    doc per fingerprint, then quality >= min_quality, then
+    language_id(text) IN langs. The lang column itself is emitted so
+    the heuristic's VALUE is hash-checked, not just the filter."""
+    in_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""WITH {DUPDOCS_CTE},
+fp0 AS (SELECT doc_id, text, {_fp_sql()} AS fingerprint FROM dupdocs),
+keep1 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp0
+          GROUP BY fingerprint),
+kept1 AS (SELECT f.doc_id, f.text, f.fingerprint
+          FROM fp0 f JOIN keep1 k ON f.doc_id = k.doc_id),
+base AS (
+  SELECT doc_id, text, fingerprint,
+         regexp_extract_all(lower(text), '{DUCKDB_TOKEN_PATTERN}') AS toks1
+  FROM kept1
+)
+SELECT doc_id, fingerprint, {_lang_sql()} AS lang,
+       {_quality_sql()} AS quality
+FROM base
+WHERE {_quality_sql()} >= {min_quality}
+  AND ({_lang_sql()}) IN ({in_list})"""
 
 
 def _lsh_bucket_cte(bits: int, n_tables: int, seed: int, dim: int) -> str:

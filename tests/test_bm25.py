@@ -89,6 +89,21 @@ def test_score_matches_oracle_f3(spark, f3_tables):
             assert r["score"] == pytest.approx(s, rel=1e-9), q
 
 
+def test_duplicate_query_terms_double_score(spark, f3_tables):
+    """Query terms are a LIST (reference semantics): a term appearing
+    twice contributes twice, so 'python python' scores exactly 2× the
+    single-term query per doc. Pinned here since the dedicated driver
+    entry (bm25_topk_dup_terms) was retired for the r5 50-entry cap."""
+    docs, *_ = f3_tables
+    one = {r["doc_id"]: r["score"]
+           for r in B.bm25_search(docs, "python", k=10).collect()}
+    two = {r["doc_id"]: r["score"]
+           for r in B.bm25_search(docs, "python python", k=10).collect()}
+    assert set(one) == set(two) and one
+    for d, s in one.items():
+        assert two[d] == pytest.approx(2 * s, rel=1e-9)
+
+
 def test_tensorflow_scores_doc4_only(spark, f3_tables):
     docs, *_ = f3_tables
     res = B.bm25_search(docs, "tensorflow", k=10).collect()
