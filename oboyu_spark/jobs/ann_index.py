@@ -14,6 +14,12 @@
         --index /path/to/ivf --query-json '[0.1, -0.2, ...]' \
         [--k 10] [--nprobe 8]
 
+    # tombstone vectors (masked from search immediately), then
+    # rewrite the lists without them and clear the tombstones
+    spark-submit ... ann_index.py delete \
+        --index /path/to/ivf --vec-ids-json '[12, 99]'
+    spark-submit ... ann_index.py compact --index /path/to/ivf
+
 Completes the deployment surface for the ANN family (the mirror of
 build_index/query_index/sync_index for the BM25 side): the FAISS
 train-once / assign-distributed / search-pruned lifecycle re-expressed
@@ -32,7 +38,9 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["build", "append", "search"])
+    ap.add_argument("action",
+                    choices=["build", "append", "search", "delete",
+                             "compact"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--embeddings",
                     help="parquet path or table:<name> (build/append)")
@@ -48,6 +56,8 @@ def main() -> None:
     ap.add_argument("--quantize", action="store_true",
                     help="exact-integer assignment (requires --seeded)")
     ap.add_argument("--query-json", help="JSON float array (search)")
+    ap.add_argument("--vec-ids-json",
+                    help="JSON array of vec_ids to tombstone (delete)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=4)
     args = ap.parse_args()
@@ -94,6 +104,21 @@ def main() -> None:
         print(json.dumps({
             "action": "append", "index": args.index,
             "n_added": emb.count(),
+        }))
+    elif args.action == "delete":
+        if not args.vec_ids_json:
+            ap.error("delete needs --vec-ids-json")
+        ids = json.loads(args.vec_ids_json)
+        S.ivf_delete(args.index, ids)
+        print(json.dumps({
+            "action": "delete", "index": args.index,
+            "n_tombstones": len(S.ivf_load_tombstones(args.index)),
+        }))
+    elif args.action == "compact":
+        S.ivf_compact(spark, args.index)
+        print(json.dumps({
+            "action": "compact", "index": args.index,
+            "n_vectors": spark.read.parquet(f"{args.index}/lists").count(),
         }))
     else:
         if not args.query_json:
