@@ -16,7 +16,13 @@ adapter, a socket server, or a shell pipe.
 Request line formats:
     a bare query string, or a JSON object
     {"query": "...", "k": 10, "scorer": "taat"|"bmw",
-     "mode": "or"|"and", "hydrate": true, "rerank": true}
+     "mode": "or"|"and"|"hybrid", "hydrate": true, "rerank": true,
+     "k_each": 20, "fusion": "rrf"|"weighted", "nprobe": 4}
+
+``mode: "hybrid"`` (needs ``--ivf``) serves the reference's DEFAULT
+retrieval mode: the warm BM25 reader fused (RRF by default) with a
+vector branch over a persisted ``ivf_build`` index — both branches
+index-backed, the query embedded driver-side by ``--embed-model``.
 
 ``hydrate``/``rerank`` need ``--docs`` (the index stores postings and
 doc ids, not content — same separation as the reference's chunk
@@ -47,10 +53,22 @@ def handle_request(
     docs: Optional[DataFrame] = None,
     default_k: int = 10,
     default_scorer: str = "taat",
+    ivf_dir: Optional[str] = None,
+    embed_model: str = "hashing64",
 ) -> dict[str, Any]:
     """One request → one JSON-able response dict. Pure function of the
-    warm reader (+ optional docs frame) so tests can drive it without
-    a subprocess."""
+    warm reader (+ optional docs frame / IVF dir) so tests can drive
+    it without a subprocess.
+
+    ``mode`` values: ``"or"``/``"and"`` select BM25 term combination;
+    ``"hybrid"`` runs the reference's DEFAULT retrieval mode
+    (search_engine.py:87-112; the MCP server serves it too) — BM25
+    through the warm IndexReader fused with a vector branch over the
+    persisted IVF index (``--ivf``), the query vector embedded
+    driver-side with the same deterministic backend that embedded the
+    corpus. Hybrid knobs: ``k_each`` (per-branch expansion, default
+    max(20, k)), ``fusion`` ("rrf" default / "weighted"), ``nprobe``.
+    ``hydrate``/``rerank`` compose with every mode."""
     if isinstance(req, str):
         req = {"query": req}
     query = req.get("query", "")
@@ -65,14 +83,43 @@ def handle_request(
         rerank = bool(req.get("rerank", False))
         if (hydrate or rerank) and docs is None:
             return {"error": "hydrate/rerank need --docs", "query": query}
+        if mode == "hybrid" and ivf_dir is None:
+            return {"error": "hybrid mode needs --ivf", "query": query}
+
+        def retrieve(limit: int) -> DataFrame:
+            if mode == "hybrid":
+                from oboyu_spark.operators.embed import embed_text
+                from oboyu_spark.operators.hybrid import (
+                    hybrid_search_indexed,
+                )
+                from oboyu_spark.operators.similarity import ivf_load_sidecar
+
+                meta = ivf_load_sidecar(ivf_dir)
+                qvec = embed_text(query, dim=meta["dim"], model=embed_model)
+                res = hybrid_search_indexed(
+                    reader, None, query, qvec,
+                    k_each=int(req.get("k_each", max(20, limit))),
+                    limit=limit, mode=req.get("fusion", "rrf"),
+                    ivf_dir=ivf_dir, nprobe=int(req.get("nprobe", 4)),
+                )
+                if docs is not None:
+                    # the fusion join runs on string ids; cast back to
+                    # the docs frame's id type so hydration joins land
+                    from pyspark.sql import functions as F
+
+                    res = res.withColumn(
+                        "doc_id",
+                        F.col("doc_id").cast(docs.schema["doc_id"].dataType),
+                    )
+                return res
+            return reader.search(query, k=limit, scorer=scorer, mode=mode)
 
         if rerank:
             from oboyu_spark.operators.bm25 import hydrate as hydrate_op
             from oboyu_spark.operators.fusion import rerank_expansion
             from oboyu_spark.operators.rerank import rerank as rerank_op
 
-            prefetch = reader.search(query, k=rerank_expansion(k),
-                                     scorer=scorer, mode=mode)
+            prefetch = retrieve(rerank_expansion(k))
             hyd = hydrate_op(prefetch.select("doc_id", "score"), docs,
                              ["text"])
             out = rerank_op(hyd, query, top_k=k, round_digits=6)
@@ -88,7 +135,7 @@ def handle_request(
                 # orderBy job on them (VERDICT r3 nit)
                 rows.sort(key=lambda r: (-r["rerank_score"], r["doc_id"]))
         else:
-            res = reader.search(query, k=k, scorer=scorer, mode=mode)
+            res = retrieve(k)
             if hydrate:
                 from oboyu_spark.operators.bm25 import hydrate as hydrate_op
 
@@ -113,7 +160,7 @@ def _json_id(v):
 
 
 def serve(reader, lines, docs=None, default_k=10, default_scorer="taat",
-          out=sys.stdout):
+          out=sys.stdout, ivf_dir=None, embed_model="hashing64"):
     """The loop: one request line in, one JSON line out. A line
     ``quit`` shuts the server down in EVERY mode (stdin, plain file,
     FIFO — ADVICE r3: it used to be FIFO-only, with the same line
@@ -133,7 +180,8 @@ def serve(reader, lines, docs=None, default_k=10, default_scorer="taat",
                       flush=True)
                 continue
         resp = handle_request(reader, req, docs=docs, default_k=default_k,
-                              default_scorer=default_scorer)
+                              default_scorer=default_scorer,
+                              ivf_dir=ivf_dir, embed_model=embed_model)
         print(json.dumps(resp), file=out, flush=True)
 
 
@@ -164,6 +212,14 @@ def main() -> None:
     ap.add_argument("--docs", help="documents parquet for hydrate/rerank")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--scorer", choices=["taat", "bmw"], default="taat")
+    ap.add_argument("--ivf",
+                    help="persisted ivf_build index dir — enables "
+                         '{"mode": "hybrid"} requests (BM25 + '
+                         "partition-pruned vector branch, RRF-fused)")
+    ap.add_argument("--embed-model", default="hashing64",
+                    help="query-embedding backend for hybrid mode "
+                         "(must match the backend that embedded the "
+                         "corpus into the IVF index)")
     ap.add_argument("--requests",
                     help="read request lines from this file/FIFO instead "
                          "of stdin (required under spark-submit — the "
@@ -182,13 +238,21 @@ def main() -> None:
 
     docs = read_input(spark, args.docs) if args.docs else None
     # warm the caches before declaring readiness (first search pays
-    # materialization; a serving process should pay it at startup)
+    # materialization; a serving process should pay it at startup) —
+    # BOTH branches when hybrid is enabled
     reader.search("warmup", k=1).collect()
+    if args.ivf:
+        handle_request(reader, {"query": "warmup", "mode": "hybrid",
+                                "k": 1},
+                       docs=docs, ivf_dir=args.ivf,
+                       embed_model=args.embed_model)
     print(json.dumps({"ready": True, "index": args.index,
-                      "n_docs": reader.meta.get("n_docs")}), flush=True)
+                      "n_docs": reader.meta.get("n_docs"),
+                      "hybrid": bool(args.ivf)}), flush=True)
     lines = _follow(args.requests) if args.requests else sys.stdin
     serve(reader, lines, docs=docs, default_k=args.k,
-          default_scorer=args.scorer)
+          default_scorer=args.scorer, ivf_dir=args.ivf,
+          embed_model=args.embed_model)
     reader.close()
 
 

@@ -103,6 +103,19 @@ def _hash64_embed_batch(texts: pd.Series, dim: int) -> list[list[float]]:
 _BACKENDS = {"hashing": _hash_embed_batch, "hashing64": _hash64_embed_batch}
 
 
+def embed_text(text: str, dim: int = 64, model: str = "hashing64") -> list:
+    """Driver-side single-text embedding with the same deterministic
+    backend ``embed_docs`` uses on the executors — the serve loop's
+    query-vector source (the reference embeds the query with the same
+    model that embedded the corpus; so do we)."""
+    if model not in _BACKENDS:
+        raise ImportError(
+            f"model={model!r} needs sentence-transformers — only the "
+            "deterministic hashing backends exist in this environment"
+        )
+    return [float(x) for x in _BACKENDS[model](pd.Series([text]), dim)[0]]
+
+
 def embed_docs(
     docs: DataFrame,
     dim: int = 64,
