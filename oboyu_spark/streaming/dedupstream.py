@@ -78,6 +78,46 @@ def dedup_stream(
     return writer.start()
 
 
+def curate_and_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    min_quality: float | None = 0.3,
+    watermark: str | None = None,
+    schema: str = DOC_SCHEMA,
+    trigger_once: bool = True,
+):
+    """ONE stream from raw documents to a live BM25 index: quality gate
+    (stateless, fused before the state store) → stateful exact dedup →
+    ``append_docs`` per micro-batch via the replay-guarded ingest
+    handler (batch manifest + docmap anti-join — streaming/ingest).
+    The full curate-on-arrival deployment shape: junk and duplicates
+    never reach the index, and the resulting index equals a batch
+    build over the batch-curated corpus (pinned by test_streaming).
+
+    Near-dedup intentionally stays a batch pass (pair joins need
+    corpus-wide candidate generation); compose ``sync_docs`` or
+    ``delete_docs``+``compact_index`` downstream for removal."""
+    from ..operators.textstats import quality_score
+
+    from .ingest import handle_batch_factory
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if min_quality is not None:
+        stream = stream.filter(quality_score(F.col("text")) >= min_quality)
+    survivors = dedup_stream_frame(stream, watermark=watermark) \
+        .select("doc_id", "text")
+    handler = handle_batch_factory(index_dir)
+    writer = (
+        survivors.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def prepare_stream(
     spark: SparkSession,
     input_dir: str,
@@ -95,7 +135,18 @@ def prepare_stream(
     curated documents to parquet. The streaming face of
     pipeline.prepare_corpus's exact+quality stages; near-dedup stays a
     batch pass over the curated output (pair joins need corpus-wide
-    candidate generation)."""
+    candidate generation).
+
+    ORDERING DIVERGENCE vs the batch pipeline (ADVICE r4, deliberate):
+    the stream filters quality BEFORE the stateful dedup (junk must not
+    enter — or evict useful entries from — the fingerprint state),
+    while prepare_corpus dedups first and filters after. The survivor
+    sets differ exactly when a below-threshold doc and an
+    above-threshold doc share a fingerprint (whitespace-only text
+    difference) and the low-quality copy has the min id / arrives
+    first: the stream keeps the later good copy, the batch pipeline
+    drops both. On corpora without cross-quality fingerprint
+    collisions the two are identical (the parity the tests pin)."""
     from ..operators.textstats import quality_score
 
     stream = spark.readStream.schema(schema).parquet(input_dir)

@@ -80,13 +80,21 @@ def handle_batch_factory(index_dir: str):
 
     from pyspark.sql import functions as F
 
-    from ..operators.postings import append_docs, load_tombstones
+    from ..operators.postings import append_docs, build_index, load_tombstones
 
     def handle_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if int(batch_id) in _done_batches(index_dir):
             return  # replay of a fully-finalized batch — idempotent skip
+        if not os.path.exists(f"{index_dir}/staged.json"):
+            # first batch of a stream pointed at an EMPTY dir: bootstrap
+            # the index instead of requiring a prior batch build (a
+            # replay after a mid-build crash re-enters build_index,
+            # which is itself checkpoint-resumable)
+            build_index(batch_df, index_dir)
+            _mark_batch_done(index_dir, batch_id)
+            return
         if os.path.isdir(f"{index_dir}/docmap"):
             docmap = batch_df.sparkSession.read.parquet(
                 f"{index_dir}/docmap"

@@ -551,3 +551,60 @@ def test_prepare_stream_curates_on_arrival(spark, tmp_path):
     stream_fps = {r["fingerprint"]
                   for r in spark.read.parquet(outp).collect()}
     assert stream_fps == batch_fps
+
+
+def test_curate_and_index_stream_end_to_end(spark, tmp_path):
+    """VERDICT r4 #8: ONE stream from raw documents to a live BM25
+    index — quality gate → stateful exact dedup → replay-guarded
+    append_docs per micro-batch — and the result answers queries
+    IDENTICALLY to a batch build over the batch-curated corpus
+    (quality-then-exact, the stream's stage order)."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.dedup import dedup_exact
+    from oboyu_spark.operators.postings import build_index
+    from oboyu_spark.operators.searchidx import search_index
+    from oboyu_spark.operators.textstats import quality_score
+    from oboyu_spark.streaming.dedupstream import curate_and_index_stream
+
+    inp, idx, chk, bidx = (str(tmp_path / d)
+                           for d in ("in", "idx", "chk", "bidx"))
+    good = ("a long and reasonable document about distributed query "
+            "processing that passes the quality gate easily " * 3)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+
+    drop1 = [
+        ("a", good + "alpha", "2025-01-01 10:00:00"),
+        ("junk", "!!! ??? !!! ??? !!!", "2025-01-01 10:01:00"),
+        ("b", good + "beta gamma", "2025-01-01 10:02:00"),
+    ]
+    drop2 = [
+        ("a2", good + "alpha", "2025-01-01 10:10:00"),  # cross-batch dup
+        ("c", good + "delta processing", "2025-01-01 10:11:00"),
+    ]
+    _df(drop1).write.mode("append").parquet(inp)
+    q = curate_and_index_stream(spark, inp, idx, chk, min_quality=0.3)
+    q.awaitTermination(180)
+    _df(drop2).write.mode("append").parquet(inp)
+    q = curate_and_index_stream(spark, inp, idx, chk, min_quality=0.3)
+    q.awaitTermination(180)
+
+    indexed = {r["doc_id"]
+               for r in spark.read.parquet(f"{idx}/docmap").collect()}
+    assert indexed == {"a", "b", "c"}  # junk gated, a2 deduped
+
+    # batch twin: quality-then-exact (the stream's order) over the
+    # union, built into a fresh index — query results must be identical
+    union = _df(drop1 + drop2).select("doc_id", "text")
+    curated = dedup_exact(
+        union.filter(quality_score(F.col("text")) >= 0.3))
+    build_index(curated, bidx, shard_size=100)
+    for query in ("distributed query processing", "beta delta", "alpha"):
+        got = search_index(spark, idx, query, k=10).collect()
+        exp = search_index(spark, bidx, query, k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == \
+            [(r["doc_id"], r["score"]) for r in exp], query
