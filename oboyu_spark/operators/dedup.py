@@ -288,7 +288,12 @@ def winnow_near_pairs(
     if max_fp_df:
         # the fingerprint frame feeds candidate generation, sizes and
         # the exact-verify joins — persist so the explode+window
-        # lineage runs once (same reasoning as ngram_jaccard_pairs)
+        # lineage runs once. Lifetime is CALLER-OWNED (ADVICE r4): the
+        # returned frame is lazy, so this function cannot unpersist;
+        # MEMORY_ONLY on purpose — blocks are LRU-evicted under
+        # pressure (worst case the lineage recomputes), so a long-lived
+        # serving session accumulates at most its storage-memory pool,
+        # never unbounded disk (same contract as ngram_jaccard_pairs)
         from pyspark import StorageLevel
 
         fps = fps.persist(StorageLevel.MEMORY_ONLY)
@@ -466,6 +471,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    changed = 0
     for _ in range(max_iters):
         neigh = sym.join(
             labels, sym["dst"] == labels["doc_id"]
@@ -488,6 +494,19 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # ADVICE r4: silent unconverged labels would under-merge
+        # clusters (pair-graph diameter > max_iters) and quietly
+        # diverge from the transitive-closure semantics
+        import warnings
+
+        warnings.warn(
+            f"connected_components: fixpoint NOT reached within "
+            f"max_iters={max_iters} (graph diameter exceeds it) — "
+            "labels are partial; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
