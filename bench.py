@@ -12,6 +12,10 @@ Components:
                        sf0.1): tokenize → term shuffle → varbyte encode
                        → sharded parquet + manifest (one-shot; phase
                        decomposition in build_phase_seconds)
+    build_widevocab  — the same build over a ~200k-distinct-term corpus
+                       (sf0.1) so the encoder's posting-group scaling
+                       is regression-gated in the artifact (the
+                       transcript vocabulary is only 44 words)
     query_taat_p50 / query_bmw_p50 / *_selective_p50 / query_warm_p50
                      — p50 single-query latency over the built index
     query_batch      — all 120 fixture queries in ONE batched job
@@ -96,6 +100,45 @@ def main() -> None:
         extras["n_postings"] = meta["n_postings"]
         extras["compressed_payload_bytes"] = meta["compressed_payload_bytes"]
         extras["build_phase_seconds"] = meta.get("phase_seconds")
+
+        # --- wide-vocabulary build (VERDICT r4 #6) ---
+        # The transcript corpus has a 44-word vocabulary, so the main
+        # build never exercises the streaming encoder's group-count
+        # scaling (one posting group per distinct term). This corpus
+        # draws ~30 words/doc from a ~2M·sf-term vocabulary (~200k
+        # distinct terms at sf0.1), regression-gating the encode
+        # stage's group scaling inside the recorded artifact instead
+        # of a one-off microbench.
+        wv_n_docs = max(2_000, int(600_000 * sf))
+        wv_vocab = max(10_000, int(2_000_000 * sf))
+        wv_docs = spark.range(wv_n_docs).select(
+            F.format_string("wv#%07d", F.col("id")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda j: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id"), j), F.lit(wv_vocab)),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        wv_dir = tempfile.mkdtemp(prefix="oboyu_bench_wv_")
+        try:
+            t0 = time.time()
+            wv_meta = build_index(
+                wv_docs, wv_dir,
+                shard_size=10_000, salt_chunk=50_000, shards_per_part=16,
+            )
+            timings["build_widevocab"] = round(time.time() - t0, 3)
+            extras["widevocab_vocab_target"] = wv_vocab
+            extras["widevocab_docs"] = wv_meta["n_docs"]
+            extras["widevocab_tokens_per_sec"] = round(
+                wv_meta["total_terms"] / timings["build_widevocab"], 1
+            )
+        finally:
+            shutil.rmtree(wv_dir, ignore_errors=True)
 
         queries = [q["text"] for q in generate_queries()]
         # selective workload: one rare high-idf term + hot terms — the
