@@ -137,6 +137,8 @@ def main() -> None:
             extras["widevocab_tokens_per_sec"] = round(
                 wv_meta["total_terms"] / timings["build_widevocab"], 1
             )
+            extras["widevocab_phase_seconds"] = wv_meta.get("phase_seconds")
+            extras["widevocab_postings"] = wv_meta["n_postings"]
         finally:
             shutil.rmtree(wv_dir, ignore_errors=True)
 

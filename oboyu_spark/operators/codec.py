@@ -19,11 +19,16 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def encode_varbyte(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array to varbyte bytes."""
+def encode_varbyte_buf(values: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Varbyte-encode a whole array in one pass; returns the raw uint8
+    buffer plus the per-value byte count. Because varbyte is
+    per-value independent, any CONTIGUOUS slice of values maps to the
+    contiguous byte range given by the cumulative counts — which is
+    what lets the partition encoder encode a million posting lists
+    with three calls instead of three calls per list."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # number of 7-bit groups per value (>=1)
     nbytes = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -42,6 +47,12 @@ def encode_varbyte(values: np.ndarray) -> bytes:
         chunk = ((v[sel] >> np.uint64(7 * k)) & _MASK).astype(np.uint8)
         is_last = (nbytes[sel] - 1) == k
         out[pos] = np.where(is_last, chunk, chunk | _CONT)
+    return out, nbytes
+
+
+def encode_varbyte(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to varbyte bytes."""
+    out, _ = encode_varbyte_buf(values)
     return out.tobytes()
 
 

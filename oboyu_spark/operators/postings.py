@@ -155,10 +155,9 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _encode_frame(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame:
-    """Encode every complete group in ``pdf`` (rows pre-sorted by
-    (shard, th1, th2, salt, doc_int); ``bounds`` = group start indices
-    plus the end sentinel)."""
+def _encode_frame_loop(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame:
+    """Per-group-loop encoder — the readable oracle `_encode_frame` is
+    pinned byte-identical against (test_codec); not on the hot path."""
     shard = pdf["shard"].to_numpy(np.int64)
     th1 = pdf["th1"].to_numpy(np.int64)
     th2 = pdf["th2"].to_numpy(np.int64)
@@ -185,6 +184,82 @@ def _encode_frame(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame:
         out["block_maxtf"].append(bmaxtf)
         out["block_mindl"].append(bmindl)
     return pd.DataFrame(out)
+
+
+def _encode_frame(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame:
+    """Encode every complete group in ``pdf`` (rows pre-sorted by
+    (shard, th1, th2, salt, doc_int); ``bounds`` = group start indices
+    plus the end sentinel) — FULLY VECTORIZED across groups.
+
+    The r4 encoder looped Python-side over groups (3 codec calls +
+    list building each); at real-corpus vocabulary scale that loop IS
+    the build (measured 6.6k groups/s/core on 2-row groups — the
+    wide-vocab bench shape). This version runs zero per-group Python:
+
+    - gaps for ALL lists at once (delta within the frame, group-start
+      positions overwritten with their absolute id),
+    - THREE `encode_varbyte_buf` calls for the whole frame; varbyte is
+      per-value independent, so each group's bytes are the contiguous
+      slice given by the cumulative byte counts,
+    - block metadata via `np.maximum/minimum.reduceat` over the global
+      block-start index (blocks tile the frame contiguously, so the
+      reduceat intervals are exactly the 128-posting blocks).
+
+    Byte-identical to `_encode_frame_loop` (pinned by test_codec)."""
+    m = len(bounds) - 1
+    if m <= 0 or len(pdf) == 0:
+        return _encode_frame_loop(pdf, bounds)
+    from .codec import encode_varbyte_buf
+
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    ends = np.asarray(bounds[1:], dtype=np.int64)
+    counts = ends - starts
+    di = pdf["doc_int"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+
+    d = di.astype(np.uint64)
+    gaps = np.empty_like(d)
+    # cross-group deltas may wrap (uint); those positions are exactly
+    # the group starts and are overwritten with the absolute first id
+    gaps[1:] = d[1:] - d[:-1]
+    gaps[starts] = d[starts]
+    gbuf, gnb = encode_varbyte_buf(gaps)
+    tbuf, tnb = encode_varbyte_buf(tf.astype(np.uint64))
+    dbuf, dnb = encode_varbyte_buf(dl.astype(np.uint64))
+
+    def slices(buf: np.ndarray, nb: np.ndarray) -> list:
+        cum = np.zeros(len(nb) + 1, dtype=np.int64)
+        np.cumsum(nb, out=cum[1:])
+        raw = buf.tobytes()
+        return [raw[a:b] for a, b in zip(cum[starts].tolist(),
+                                         cum[ends].tolist())]
+
+    nblocks = (counts + BLOCK - 1) // BLOCK
+    cumb = np.cumsum(nblocks)
+    first_block = cumb - nblocks
+    gidx = np.repeat(np.arange(m), nblocks)
+    within = np.arange(int(cumb[-1]), dtype=np.int64) - first_block[gidx]
+    bstart = starts[gidx] + within * BLOCK
+    bend = np.minimum(bstart + BLOCK, ends[gidx])
+    blast = di[bend - 1]
+    bmaxtf = np.maximum.reduceat(tf, bstart)
+    bmindl = np.minimum.reduceat(dl, bstart)
+    splits = cumb[:-1]
+
+    return pd.DataFrame({
+        "shard": pdf["shard"].to_numpy(np.int64)[starts],
+        "th1": pdf["th1"].to_numpy(np.int64)[starts],
+        "th2": pdf["th2"].to_numpy(np.int64)[starts],
+        "salt": pdf["salt"].to_numpy(np.int64)[starts],
+        "n": counts,
+        "gaps": slices(gbuf, gnb),
+        "tfs": slices(tbuf, tnb),
+        "dls": slices(dbuf, dnb),
+        "block_last": np.split(blast, splits),
+        "block_maxtf": np.split(bmaxtf, splits),
+        "block_mindl": np.split(bmindl, splits),
+    })
 
 
 def _encode_stream(batches):
