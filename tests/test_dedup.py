@@ -426,3 +426,50 @@ def test_minhash_index_replay_and_compact(spark, tmp_path):
     os.makedirs(f"{d}/signatures/batch=99")
     D._clean_partial_batches(d)
     assert 99 not in D._signature_batches(d)
+
+
+def test_minhash_index_job_lifecycle(spark, tmp_path, monkeypatch, capsys):
+    """jobs/minhash_index.py build -> append -> compact drive the
+    incremental near-dup index through the spark-submit surface."""
+    import json
+    import sys
+
+    from oboyu_spark.jobs import minhash_index as J
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    old = spark.createDataFrame(
+        [(1, base + " alpha"), (2, base + " alpha beta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(3, base + " alpha gamma")], "doc_id long, text string")
+    d = str(tmp_path / "jobmh")
+    p_old, p_new = str(tmp_path / "old_pq"), str(tmp_path / "new_pq")
+    p_pairs = str(tmp_path / "pairs_pq")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+
+    monkeypatch.setattr(sys, "argv", [
+        "minhash_index.py", "build", "--index", d, "--docs", p_old,
+        "--num-perm", "16", "--bands", "8",
+    ])
+    J.main()
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 2 and built["bands"] == 8
+
+    monkeypatch.setattr(sys, "argv", [
+        "minhash_index.py", "append", "--index", d, "--docs", p_new,
+        "--threshold", "0.4", "--pairs-out", p_pairs,
+    ])
+    J.main()
+    app = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.read.parquet(p_pairs).collect()}
+    assert app["n_pairs"] == len(got) and (1, 3) in got
+
+    monkeypatch.setattr(sys, "argv", [
+        "minhash_index.py", "compact", "--index", d,
+    ])
+    J.main()
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["n_docs"] == 3 and comp["batches"] == [0]
