@@ -62,6 +62,8 @@ def near_dup_drop_ids(
     winnow_k: int = 8,
     winnow_window: int = 4,
     winnow_max_fp_df: int | None = 1000,
+    simhash_max_hamming: int = 6,
+    simhash_max_bucket_df: int | None = 1000,
 ) -> DataFrame:
     """Ids to drop at >= ``threshold`` similarity.
 
@@ -71,14 +73,19 @@ def near_dup_drop_ids(
     pairs, threshold on containment-style overlap (common fingerprints
     / min set size) — the LOCAL shared-run lens, which catches a long
     copied passage inside otherwise-different documents that Jaccard
-    dilutes below any sane threshold.
+    dilutes below any sane threshold. ``method="simhash"``: 64-bit
+    SimHash pairs within ``simhash_max_hamming`` — the tf-WEIGHTED
+    whole-document lens (one hash aggregate, no shingle explosion;
+    ``threshold`` is unused, the hamming budget is the cut), the
+    cheapest pass for boilerplate-heavy web corpora.
 
     ``policy="greedy"``: every ``doc_b`` of a pair (doc_a < doc_b by
     construction). ``policy="components"``: every non-representative
     member of a connected component of the pair graph (representative
     = min id per component)."""
     from .dedup import (
-        connected_components, minhash_lsh_pairs, winnow_near_pairs,
+        connected_components, minhash_lsh_pairs, simhash64_near_pairs,
+        winnow_near_pairs,
     )
 
     if method == "minhash":
@@ -91,8 +98,14 @@ def near_dup_drop_ids(
             id_col=id_col, text_col=text_col,
             max_fp_df=winnow_max_fp_df,
         ).filter(F.col("overlap") >= threshold).select("doc_a", "doc_b")
+    elif method == "simhash":
+        pairs = simhash64_near_pairs(
+            docs, max_hamming=simhash_max_hamming, id_col=id_col,
+            text_col=text_col, max_bucket_df=simhash_max_bucket_df,
+        ).select("doc_a", "doc_b")
     else:
-        raise ValueError(f"method={method!r} not in ('minhash', 'winnow')")
+        raise ValueError(
+            f"method={method!r} not in ('minhash', 'winnow', 'simhash')")
     if policy == "greedy":
         return pairs.select(F.col("doc_b").alias(id_col)).distinct()
     if policy == "components":
@@ -112,6 +125,7 @@ def prepare_corpus(
     near_policy: str = "greedy",
     near_method: str = "minhash",
     near_winnow_max_fp_df: Optional[int] = 1000,
+    near_simhash_max_hamming: int = 6,
     min_quality: Optional[float] = None,
     langs: "Optional[tuple[str, ...]]" = None,
     chunk_size: Optional[int] = 1024,
@@ -148,7 +162,8 @@ def prepare_corpus(
                                  n=near_n, id_col=id_col,
                                  text_col=text_col, policy=near_policy,
                                  method=near_method,
-                                 winnow_max_fp_df=near_winnow_max_fp_df)
+                                 winnow_max_fp_df=near_winnow_max_fp_df,
+                                 simhash_max_hamming=near_simhash_max_hamming)
         # no forced broadcast: at web scale the drop set can be a large
         # fraction of the corpus — let AQE pick the join strategy
         out = out.join(drop, id_col, "left_anti")
