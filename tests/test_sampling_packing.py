@@ -53,6 +53,27 @@ def test_deterministic_sample_membership_and_stability(spark, corpus):
     assert x1 == x2 and 0.2 < len(x1) / 600 < 0.4
 
 
+def test_deterministic_sample_duckdb_twin(spark, corpus):
+    """The md5 gate is exactly reproducible in DuckDB — the same
+    oracle-parity contract as the dedup family's hashes (cell-exact
+    membership, not just similar rates)."""
+    import duckdb
+
+    frac, seed = 0.25, 9
+    got = sorted(r["doc_id"] for r in
+                 deterministic_sample(corpus, frac, seed).collect())
+    pdf = corpus.select("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    cut = int(frac * GATE_SPACE)
+    exp = [r[0] for r in con.sql(f"""
+        SELECT doc_id FROM docs
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#{seed}'), 1, 8))
+              ::UBIGINT % {GATE_SPACE} < {cut}
+        ORDER BY doc_id""").fetchall()]
+    assert got == exp
+
+
 def test_stratified_sample(spark, corpus):
     """Per-stratum cuts: keep all ja, 20% of en; unlisted strata use
     the default (0 → dropped)."""
