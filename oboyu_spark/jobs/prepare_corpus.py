@@ -2,16 +2,24 @@
 
     spark-submit --master local[32] oboyu_spark/jobs/prepare_corpus.py \
         --input /data/documents.parquet --output /data/prepared \
+        [--sample-fraction 0.1 --sample-seed 42] \
         [--no-exact] [--near-threshold 0.5 | --no-near] \
-        [--min-quality 0.3] [--chunk-size 1024] [--chunk-overlap 256] \
-        [--embed-dim 64]
+        [--near-method minhash|winnow|simhash] \
+        [--near-policy greedy|components] \
+        [--min-quality 0.3] [--langs en,ja] \
+        [--chunk-size 1024] [--chunk-overlap 256] \
+        [--embed-dim 64] [--pack-budget 2048]
 
-Runs operators/pipeline.prepare_corpus (exact dedup → MinHash+LSH near
-dedup → quality filter → chunk → embed) and writes:
+Runs operators/pipeline.prepare_corpus (optional deterministic sample →
+exact dedup → near dedup under the chosen lens+policy → quality filter
+→ language filter → chunk → embed → optional sequence packing) and
+writes:
 
     <output>/docs/        cleaned documents
     <output>/chunks/      chunked rows (unless --no-chunk)
     <output>/embeddings/  chunk embeddings (if --embed-dim)
+    <output>/packing/     sequence assignment (if --pack-budget; over
+                          chunks when chunking is on, else docs)
 
 Prints one JSON line with per-stage counts (each count is one Spark
 action over the already-written parquet, not a recomputation of the
@@ -33,7 +41,19 @@ def main() -> None:
     ap.add_argument("--no-exact", action="store_true")
     ap.add_argument("--no-near", action="store_true")
     ap.add_argument("--near-threshold", type=float, default=0.5)
+    ap.add_argument("--near-method", default="minhash",
+                    choices=["minhash", "winnow", "simhash"])
+    ap.add_argument("--near-policy", default="greedy",
+                    choices=["greedy", "components"])
     ap.add_argument("--min-quality", type=float)
+    ap.add_argument("--langs",
+                    help="comma-separated language_id values to keep")
+    ap.add_argument("--sample-fraction", type=float,
+                    help="deterministic hash-gate pre-sample")
+    ap.add_argument("--sample-seed", type=int, default=42)
+    ap.add_argument("--pack-budget", type=int,
+                    help="write a fixed-token-budget sequence "
+                         "assignment (concat-and-split mode)")
     ap.add_argument("--no-chunk", action="store_true")
     ap.add_argument("--chunk-size", type=int, default=1024)
     ap.add_argument("--chunk-overlap", type=int, default=256)
@@ -54,19 +74,29 @@ def main() -> None:
 
     docs = read_input(spark, args.input)
     n_in = docs.count()
+    report: dict[str, object] = {"input_docs": n_in}
+    if args.sample_fraction is not None:
+        from oboyu_spark.operators.sampling import deterministic_sample
+
+        docs = deterministic_sample(docs, args.sample_fraction,
+                                    seed=args.sample_seed,
+                                    id_col=args.id_col)
+        report["sample_fraction"] = args.sample_fraction
     # document stages only here — chunk/embed run below, each over the
     # previous stage's written parquet
     res = prepare_corpus(
         docs,
         exact=not args.no_exact,
         near_threshold=None if args.no_near else args.near_threshold,
+        near_method=args.near_method,
+        near_policy=args.near_policy,
         min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
         chunk_size=None,
         embed_dim=None,
         id_col=args.id_col,
         text_col=args.text_col,
     )
-    report: dict[str, object] = {"input_docs": n_in}
     res["docs"].write.mode("overwrite").parquet(f"{args.output}/docs")
     cleaned = spark.read.parquet(f"{args.output}/docs")
     report["kept_docs"] = cleaned.count()
@@ -94,6 +124,20 @@ def main() -> None:
         report["embeddings"] = spark.read.parquet(
             f"{args.output}/embeddings"
         ).count()
+    if args.pack_budget:
+        from pyspark.sql import functions as F
+
+        from oboyu_spark.operators.packing import (
+            pack_sequences, sequence_fill_stats,
+        )
+
+        packed = pack_sequences(embed_src, args.pack_budget,
+                                id_col=embed_id, text_col=embed_text)
+        packed.write.mode("overwrite").parquet(f"{args.output}/packing")
+        stats = sequence_fill_stats(
+            spark.read.parquet(f"{args.output}/packing"), args.pack_budget
+        ).agg(F.sum("n_sequences").alias("n_sequences")).collect()
+        report["pack_sequences"] = int(stats[0]["n_sequences"])
     report["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(report))
 

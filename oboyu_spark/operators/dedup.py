@@ -453,24 +453,28 @@ def connected_components(
     one equi-join on the symmetrized edge list plus one min-aggregate,
     both shuffling on node id. Converges in O(graph diameter)
     iterations; near-dup graphs are dense clusters with tiny diameters,
-    and ``max_iters`` bounds the pathological chain. Labels are
-    persisted per round and the convergence check is a LIMIT-1 count of
-    changed labels, so each round's lineage is one join deep (no
-    exponential plan growth).
+    and ``max_iters`` bounds the pathological chain.
 
-    At 100 TB the frames here scale with the PAIR set (near-duplicate
-    edges), not the corpus — orders of magnitude smaller than the
-    documents frame that produced them."""
+    Lineage is TRUNCATED per round with ``localCheckpoint`` (not just
+    persisted): a cache keeps results but the LOGICAL plan still grows
+    by the full upstream pair-producer tree every round, and with a
+    large producer (simhash's 7-band 64-term key expressions) the
+    accumulated plan OOMs the driver on plan-string rendering alone
+    before any data moves. Checkpointed frames are pair-set-sized —
+    orders of magnitude smaller than the corpus at 100 TB. (The
+    standard iterative-algorithm trade: on executor loss a
+    localCheckpoint partition is recomputation-unrecoverable and the
+    job retries from the last action — acceptable for a fixpoint loop;
+    use a reliable checkpoint dir if that matters.)"""
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     changed = 0
     for _ in range(max_iters):
         neigh = sym.join(
@@ -480,7 +484,7 @@ def connected_components(
             neigh.unionByName(labels)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -489,11 +493,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     if changed != 0:
         # ADVICE r4: silent unconverged labels would under-merge
         # clusters (pair-graph diameter > max_iters) and quietly
