@@ -121,3 +121,19 @@ def test_embeddings_feed_similarity(spark, docs):
 def test_real_model_gate_is_loud(spark, docs):
     with pytest.raises(ImportError, match="sentence-transformers"):
         E.embed_docs(docs, dim=16, model="all-MiniLM-L6-v2")
+
+
+def test_embed_text_matches_embed_docs(spark):
+    """embed_text (the serve loop's driver-side query embedder) must
+    produce EXACTLY the vector embed_docs computes for the same text
+    under both backends — the hybrid serving contract: a query embeds
+    into the same space as the corpus in the IVF index."""
+    text = "spark query join table 検索"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    for model in ("hashing", "hashing64"):
+        corpus_vec = E.embed_docs(df, dim=24, model=model) \
+            .first()["embedding"]
+        query_vec = E.embed_text(text, dim=24, model=model)
+        assert [float(x) for x in corpus_vec] == query_vec, model
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        E.embed_text(text, dim=24, model="all-MiniLM-L6-v2")
