@@ -24,6 +24,13 @@ bucket key plus a partition-local pass:
 Ordering contract: within a bucket documents pack in ``id_col`` order —
 deterministic on any partitioning/cluster size, same reproducibility
 contract as operators/sampling.
+
+Sizing: each bucket is processed as one unit — the split-mode window
+sorts it in one task and the greedy mode holds its (doc_id, n_tokens)
+rows in one pandas frame — so choose ``n_buckets`` ≈ corpus_rows /
+(a few 10⁷): buckets stay executor-sized at any corpus scale, and more
+buckets only add parallelism (cross-bucket packing order carries no
+meaning).
 """
 
 from __future__ import annotations
