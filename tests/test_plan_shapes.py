@@ -191,3 +191,32 @@ def test_minhash_append_band_join_is_slim(spark, corpus, tmp_path):
     for blk in re.split(r"\n\(\d+\) ", plan):
         if blk.startswith("Exchange") and "hashpartitioning" in blk:
             assert "text#" not in blk, blk
+
+
+def test_pack_sequences_split_single_bucket_exchange(spark, corpus):
+    """Split-mode packing must cost exactly ONE shuffle — the bucket
+    exchange feeding the per-bucket window — and the text column must
+    not ride it (token counts are computed before the exchange... or
+    at worst text is projected away by the window's child)."""
+    import re
+
+    from oboyu_spark.operators.packing import pack_sequences
+
+    df = pack_sequences(corpus, budget=256, n_buckets=8)
+    plan = _plan(df)
+    exchanges = [
+        blk for blk in re.split(r"\n\(\d+\) ", plan)
+        if blk.startswith("Exchange") and "hashpartitioning" in blk
+    ]
+    assert len(exchanges) == 1, plan
+    assert "bucket" in exchanges[0], exchanges[0]
+    assert "text#" not in exchanges[0], exchanges[0]
+
+
+def test_deterministic_sample_no_exchange(spark, corpus):
+    """The sampling gate is a stateless predicate — it must fuse into
+    the scan with ZERO exchanges in the executed plan."""
+    from oboyu_spark.operators.sampling import deterministic_sample
+
+    plan = _plan(deterministic_sample(corpus, 0.3, seed=5))
+    assert "Exchange" not in plan, plan
