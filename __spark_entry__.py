@@ -391,13 +391,14 @@ def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded (pigeonhole) 64-bit near-pairs vs an exhaustive O(n²)
-    # oracle — cap OFF here so recall is exhaustive at ANY sf (the
-    # oracle can't model the production-default max_bucket_df trade;
-    # the cap's semantics are pinned by test_simhash_hot_bucket_cap)
+    # oracle. max_bucket_df defaults to None since r6 (ADVICE r5 #3:
+    # exhaustive pigeonhole recall is the operator's contract; the
+    # scale cap is opted into at the pipeline layer), so the default
+    # call matches the oracle at ANY sf; the cap's semantics stay
+    # pinned by test_simhash_hot_bucket_cap.
     from oboyu_spark.operators.dedup import simhash64_near_pairs
 
-    return simhash64_near_pairs(_docs(spark, sf_dir), max_hamming=8,
-                                max_bucket_df=None)
+    return simhash64_near_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
 def _q_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

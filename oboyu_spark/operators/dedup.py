@@ -541,6 +541,35 @@ def _signature_batches(index_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _recover_swap(index_dir: str, live_name: str) -> None:
+    """Repair the compact-swap crash window (ADVICE r5 #2).
+
+    ``minhash_index_compact`` / ``ivf_compact`` swap via
+    ``rename(live, live_old); rename(live_compacting, live)`` — a crash
+    BETWEEN those renames leaves NO dir at the live path. The
+    compacting dir is always COMPLETE in that state (the parquet write
+    finished before any rename started), so recovery rolls FORWARD to
+    it; if only ``live_old`` survives (defensive — unreachable from the
+    compact sequence itself) roll back. With the live dir present, any
+    leftover sibling dirs are pre- or post-swap debris and are swept.
+    Idempotent; called on entry to compact, append, and read paths.
+    """
+    import os
+    import shutil
+
+    live = os.path.join(index_dir, live_name)
+    old = f"{live}_old"
+    tmp = f"{live}_compacting"
+    if not os.path.exists(live):
+        if os.path.exists(tmp):
+            os.rename(tmp, live)  # roll forward to the finished rewrite
+        elif os.path.exists(old):
+            os.rename(old, live)  # roll back
+    for debris in (old, tmp):
+        if os.path.exists(live) and os.path.exists(debris):
+            shutil.rmtree(debris)
+
+
 def _clean_partial_batches(index_dir: str) -> None:
     """Drop batch dirs without a ``_SUCCESS`` marker — debris from a
     crashed append. A half-committed batch must never feed the read
@@ -563,6 +592,7 @@ def minhash_index_signatures(spark, index_dir: str) -> DataFrame:
     the resolution window is skipped entirely."""
     from pyspark.sql import Window
 
+    _recover_swap(index_dir, "signatures")
     batches = _signature_batches(index_dir)
     df = spark.read.parquet(f"{index_dir}/signatures")
     if len(batches) <= 1:
@@ -640,6 +670,7 @@ def minhash_index_append_pairs(
     with open(f"{index_dir}/minhash.json") as f:
         meta = json.load(f)
     num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
+    _recover_swap(index_dir, "signatures")
     _clean_partial_batches(index_dir)
     batches = _signature_batches(index_dir)
     ordinal = (batches[-1] + 1) if batches else 0
@@ -698,12 +729,15 @@ def minhash_index_compact(spark, index_dir: str) -> None:
     its own batch's work.
 
     Swap discipline: write to a sibling dir, rename the old layout
-    aside, rename the new one in, then delete the old — a crash leaves
-    either the old or the new layout intact (plus at worst a stale
-    ``signatures_old`` to sweep), never a half-deleted index."""
+    aside, rename the new one in, then delete the old. A crash between
+    the two renames leaves NO dir at the live path — ``_recover_swap``
+    (run on entry to compact, append, and the read path) rolls forward
+    to the completed ``signatures_compacting`` (or back to
+    ``signatures_old``), so recovery is automatic, not manual."""
     import os
     import shutil
 
+    _recover_swap(index_dir, "signatures")
     _clean_partial_batches(index_dir)
     resolved = minhash_index_signatures(spark, index_dir)
     tmp = f"{index_dir}/signatures_compacting"
@@ -845,7 +879,7 @@ def simhash64_near_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket_df: "int | None" = 1000,
+    max_bucket_df: "int | None" = None,
 ) -> DataFrame:
     """64-bit near-dup pairs: band the (lo, hi) fingerprint into
     ``max_hamming + 1`` segments across the two halves (pigeonhole —
@@ -853,9 +887,13 @@ def simhash64_near_pairs(
     segment), bucket-join, verify the exact 64-bit hamming distance
     (bit_count of both halves' XORs).
 
-    ``max_bucket_df`` (ON by default) caps the per-band bucket df —
-    see ``_drop_hot_buckets``; ``None`` opts out (exhaustive pigeonhole
-    recall, only safe on boilerplate-free corpora)."""
+    ``max_bucket_df`` caps the per-band bucket df — see
+    ``_drop_hot_buckets``. Default ``None`` = exhaustive pigeonhole
+    recall (the operator's advertised guarantee; ADVICE r5 #3 — a
+    silent default cap dropped pairs whose every shared segment landed
+    in a hot bucket). The scale guard is opted into WHERE scale is the
+    contract: ``prepare_corpus`` / ``near_dup_drop_ids`` pass
+    ``simhash_max_bucket_df=1000`` by default."""
     sh = simhash64(docs, id_col, text_col)
     n_bands = max_hamming + 1
     # segment the 64 bits round-robin across bands: band b owns bits
@@ -902,13 +940,14 @@ def simhash_near_pairs(
     band_bits: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket_df: "int | None" = 1000,
+    max_bucket_df: "int | None" = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint (pigeonhole —
     hamming ≤ k pairs share ≥1 of k+1 bands), bucket-join, verify exact
     hamming distance with bit_count. ``max_bucket_df`` caps the
-    per-band bucket df (see ``_drop_hot_buckets``); ``None`` opts
-    out."""
+    per-band bucket df (see ``_drop_hot_buckets``); default ``None``
+    keeps the exhaustive pigeonhole guarantee (ADVICE r5 #3) — the
+    pipeline layer opts into the cap."""
     sh = simhash(docs, bits, id_col, text_col)
     n_bands = max_hamming + 1
     width = bits // n_bands

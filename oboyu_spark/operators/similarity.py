@@ -437,6 +437,9 @@ def ivf_append(
     directories. Searches pick the new files up on the next read; no
     existing file is rewritten. The mirror of the BM25 index's
     ``append_docs`` maintenance story."""
+    from .dedup import _recover_swap
+
+    _recover_swap(index_dir, "lists")
     meta = ivf_load_sidecar(index_dir)
     assigned = ivf_assign(embeddings, meta["centroids"], id_col, vec_col,
                           quantize=meta["quantize"])
@@ -501,10 +504,16 @@ def ivf_compact(spark, index_dir: str) -> None:
     mirroring the postings ``compact_index``. Assignments are reused
     verbatim (centroids are frozen; survivors keep their list_id), so
     this is a partition-preserving filter-and-rewrite, not a rebuild.
-    Swap discipline: write aside, rename old out, rename new in."""
+    Swap discipline: write aside, rename old out, rename new in; the
+    between-renames crash window (no dir at the live path) is repaired
+    automatically by ``_recover_swap`` on the next compact, append, or
+    search (ADVICE r5 #2)."""
     import os
     import shutil
 
+    from .dedup import _recover_swap
+
+    _recover_swap(index_dir, "lists")
     survivors = _mask_tombstones(
         spark.read.parquet(f"{index_dir}/lists"), index_dir
     )
@@ -555,6 +564,9 @@ def ivf_search(
     partition column, not a computed one), so the files of the other
     n_lists − nprobe lists are never opened. Scanned fraction ≈
     nprobe / n_lists by construction, verified by a plan-shape test."""
+    from .dedup import _recover_swap
+
+    _recover_swap(index_dir, "lists")
     meta = ivf_load_sidecar(index_dir)
     probes = _probe_lists(meta["centroids"], query_vec, nprobe,
                           quantize=meta["quantize"])

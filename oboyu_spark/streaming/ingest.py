@@ -87,11 +87,19 @@ def handle_batch_factory(index_dir: str):
             return
         if int(batch_id) in _done_batches(index_dir):
             return  # replay of a fully-finalized batch — idempotent skip
-        if not os.path.exists(f"{index_dir}/staged.json"):
-            # first batch of a stream pointed at an EMPTY dir: bootstrap
-            # the index instead of requiring a prior batch build (a
-            # replay after a mid-build crash re-enters build_index,
-            # which is itself checkpoint-resumable)
+        if not os.path.exists(f"{index_dir}/stats/meta.json"):
+            # no finalize marker → the index has never COMPLETED a
+            # build here: bootstrap (or resume a crashed bootstrap)
+            # instead of requiring a prior batch build. Guarding on the
+            # FINALIZE marker, not staged.json, matters (ADVICE r5 #1):
+            # staged.json lands at the END of staging, before part
+            # builds and finalize — keying on it would send a replay
+            # after a post-staging crash down the append path, where
+            # load_meta raises on the missing stats/meta.json and the
+            # stream wedges. build_index with an existing staged.json
+            # resumes the frozen staging and skips done bparts, so
+            # re-entering it mid-bootstrap is safe and
+            # checkpoint-resumable.
             build_index(batch_df, index_dir)
             _mark_batch_done(index_dir, batch_id)
             return

@@ -428,6 +428,50 @@ def test_minhash_index_replay_and_compact(spark, tmp_path):
     assert 99 not in D._signature_batches(d)
 
 
+def test_minhash_compact_crash_window_recovery(spark, tmp_path):
+    """ADVICE r5 #2: a crash BETWEEN minhash_index_compact's two
+    renames leaves NO dir at the live signatures path (only
+    signatures_old + signatures_compacting). _recover_swap — run on
+    entry to the read, append, and compact paths — must roll forward
+    to the completed compacting dir automatically, not wedge reads
+    until manual repair."""
+    import os
+
+    d = str(tmp_path / "mhcrash")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = spark.createDataFrame(
+        [(1, base + " alpha"), (2, base + " beta"), (3, base + " gamma")],
+        "doc_id long, text string")
+    D.minhash_index_build(docs, d, num_perm=16, bands=8)
+    before = sorted(map(tuple, D.minhash_index_signatures(spark, d)
+                        .collect()))
+    # simulate the window: rewrite written and COMPLETE, live renamed
+    # aside, second rename never happened
+    spark.read.parquet(f"{d}/signatures/batch=0").write.mode(
+        "overwrite").parquet(f"{d}/signatures_compacting/batch=0")
+    os.rename(f"{d}/signatures", f"{d}/signatures_old")
+    assert not os.path.exists(f"{d}/signatures")
+    # the read path self-heals (roll forward) and sweeps the debris
+    after = sorted(map(tuple, D.minhash_index_signatures(spark, d)
+                       .collect()))
+    assert after == before
+    assert os.path.isdir(f"{d}/signatures")
+    assert not os.path.exists(f"{d}/signatures_old")
+    assert not os.path.exists(f"{d}/signatures_compacting")
+    # defensive roll-BACK branch: only the old layout survives
+    os.rename(f"{d}/signatures", f"{d}/signatures_old")
+    D._recover_swap(d, "signatures")
+    assert os.path.isdir(f"{d}/signatures")
+    assert sorted(map(tuple, D.minhash_index_signatures(spark, d)
+                      .collect())) == before
+    # with the live dir present, leftover siblings are pre/post-swap
+    # debris and are swept
+    os.makedirs(f"{d}/signatures_old")
+    D._recover_swap(d, "signatures")
+    assert not os.path.exists(f"{d}/signatures_old")
+
+
 def test_minhash_index_job_lifecycle(spark, tmp_path, monkeypatch, capsys):
     """jobs/minhash_index.py build -> append -> compact drive the
     incremental near-dup index through the spark-submit surface."""

@@ -20,8 +20,9 @@ def corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
 
-def _py_gate(doc_id, seed):
-    h = int(hashlib.md5(f"{doc_id}#{seed}".encode()).hexdigest()[:8], 16)
+def _py_gate(doc_id, seed, salt="sample"):
+    h = int(hashlib.md5(
+        f"{doc_id}#{salt}#{seed}".encode()).hexdigest()[:8], 16)
     return h % GATE_SPACE
 
 
@@ -68,8 +69,8 @@ def test_deterministic_sample_duckdb_twin(spark, corpus):
     cut = int(frac * GATE_SPACE)
     exp = [r[0] for r in con.sql(f"""
         SELECT doc_id FROM docs
-        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#{seed}'), 1, 8))
-              ::UBIGINT % {GATE_SPACE} < {cut}
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#sample#{seed}'),
+               1, 8))::UBIGINT % {GATE_SPACE} < {cut}
         ORDER BY doc_id""").fetchall()]
     assert got == exp
 
@@ -85,11 +86,36 @@ def test_stratified_sample(spark, corpus):
     assert 0.1 < len(en) / 400 < 0.3
     en_ids = {r["doc_id"] for r in en}
     exp_en = {i for i in range(1, 601) if i % 3
-              and _py_gate(i, 3) < int(0.2 * GATE_SPACE)}
+              and _py_gate(i, 3, salt="strat") < int(0.2 * GATE_SPACE)}
     assert en_ids == exp_en
     none = stratified_sample(corpus, {"ja": 0.5}, strata_col="lang",
                              seed=3).collect()
     assert all(r["lang"] == "ja" for r in none)  # en fell to default 0
+
+
+def test_sampling_composition_decorrelated(spark, corpus):
+    """ADVICE r5 #4: chaining deterministic_sample → stratified_sample
+    at the SAME seed thins multiplicatively (independent salted gates),
+    instead of the old fully-correlated behavior where a stratum cut ≥
+    the pre-sample fraction kept 100% of the survivors."""
+    seed = 11
+    pre = deterministic_sample(corpus, 0.5, seed)
+    out = stratified_sample(pre, {"en": 0.5, "ja": 0.5},
+                            strata_col="lang", seed=seed)
+    n_pre, n_out = pre.count(), out.count()
+    # correlated gates would keep ALL of pre (cut == fraction); the
+    # salted gates keep ~ half of it
+    assert 0.35 < n_out / n_pre < 0.65
+    # and SAME-operator composition stays monotone (subset property)
+    a = {r["doc_id"] for r in
+         deterministic_sample(corpus, 0.1, seed).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(corpus, 0.5, seed).collect()}
+    assert a <= b
+    # explicit same-salt opt-in restores correlation across operators
+    corr = stratified_sample(pre, {"en": 0.5, "ja": 0.5},
+                             strata_col="lang", seed=seed, salt="sample")
+    assert corr.count() == n_pre
 
 
 def test_pack_sequences_split_tiles_exactly(spark, corpus):

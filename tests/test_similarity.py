@@ -170,6 +170,32 @@ def test_ivf_delete_and_compact(spark, emb_df, vectors, tmp_path):
         f"{d}/lists_compacting")
 
 
+def test_ivf_compact_crash_window_recovery(spark, emb_df, vectors, tmp_path):
+    """ADVICE r5 #2 (IVF flavor): a crash between ivf_compact's two
+    renames leaves no ``lists/`` at the live path; the next search,
+    append, or compact rolls forward to the completed
+    ``lists_compacting`` rewrite automatically."""
+    import os
+
+    d = str(tmp_path / "ivfcrash")
+    S.ivf_build(emb_df, d, n_lists=8, sample=N, iters=8, seed=5)
+    q = [float(x) for x in vectors[10]]
+    before = [(r["vec_id"], r["cosine"])
+              for r in S.ivf_search(spark, d, q, k=5, nprobe=3).collect()]
+    # simulate the window: rewrite complete, live renamed aside,
+    # second rename never ran
+    spark.read.parquet(f"{d}/lists").write.mode("overwrite").partitionBy(
+        "list_id").parquet(f"{d}/lists_compacting")
+    os.rename(f"{d}/lists", f"{d}/lists_old")
+    assert not os.path.exists(f"{d}/lists")
+    after = [(r["vec_id"], r["cosine"])
+             for r in S.ivf_search(spark, d, q, k=5, nprobe=3).collect()]
+    assert after == before
+    assert os.path.isdir(f"{d}/lists")
+    assert not os.path.exists(f"{d}/lists_old")
+    assert not os.path.exists(f"{d}/lists_compacting")
+
+
 def test_ivf_search_prunes_partitions(spark, emb_df, vectors, tmp_path):
     """The probed-list filter must land in the scan's PartitionFilters
     (directory pruning), and the executed scan must touch only files

@@ -87,6 +87,42 @@ def test_replay_of_finalized_batch_is_skipped(spark, tmp_path):
     assert load_meta(idx)["n_docs"] == n0 + n_extra  # not double-indexed
 
 
+def test_bootstrap_guard_resumes_crashed_build(spark, tmp_path):
+    """ADVICE r5 #1: the bootstrap guard keys on the FINALIZE marker
+    (stats/meta.json), not staged.json — staged.json lands at the END
+    of staging, BEFORE part builds and finalize, so a crash
+    mid-bootstrap used to send the replay down the append path, where
+    load_meta raises on the missing stats/meta.json and the stream
+    wedges permanently. The replay must re-enter the
+    checkpoint-resumable build instead."""
+    import os
+
+    import pytest as _pytest
+
+    from oboyu_spark.streaming.ingest import _done_batches, handle_batch_factory
+
+    idx = str(tmp_path / "idx")
+    docs = turns_as_docs(
+        synthesize_transcripts(spark, n_convs=10, max_turns=4, seed=3)
+    ).select("doc_id", "text")
+    n = docs.count()
+    # crash mid-bootstrap: staging completes, the build dies before
+    # finalize writes the stats/meta.json marker
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        build_index(docs, idx, fail_after_parts=1)
+    assert os.path.exists(f"{idx}/staged.json")
+    assert not os.path.exists(f"{idx}/stats/meta.json")
+    # checkpoint replay re-delivers the batch: the handler resumes the
+    # frozen-staging build (skipping done parts) and finalizes
+    handler = handle_batch_factory(idx)
+    handler(docs, 0)
+    assert load_meta(idx)["n_docs"] == n
+    assert _done_batches(idx) == {0}
+    # and a further replay of the finalized batch is the usual no-op
+    handler(docs, 0)
+    assert load_meta(idx)["n_docs"] == n
+
+
 def test_replay_guard_readds_tombstoned_keys(spark, tmp_path):
     """ADVICE r2: the anti-join must ignore tombstoned doc_ints — a key
     deleted via delete_docs and then re-emitted on the stream is
