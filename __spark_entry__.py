@@ -87,6 +87,13 @@ LIKE_TERMS = ["fast", "table"]
 # simhash(bits=32); 32-bit pairs stay pinned by tests/test_dedup.py),
 # chunk_documents (rows-only free-text variant; reference parity pinned
 # by tests/test_chunker.py, exact sibling chunk_documents_fixed stays).
+# r6 rotations (VERDICT r5 #2): minhash_signatures retired (exercised
+# inside minhash_lsh_pairs / minhash_incremental_pairs; exact twin
+# stays in plans/oracle_sql.py and tests/test_dedup.py) and simhash64
+# retired (recomputed inside simhash64_near_pairs; pinned by
+# tests/test_dedup.py) to free slots for sampled_docs and
+# packed_sequences — the two operators that previously sat outside the
+# hard signal.
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,10 +354,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_shingle_df=None)
 
 
-def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oboyu_spark.operators.dedup import minhash_signatures
+def _q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic md5-gate sampling (VERDICT r5 #2 rotation): the
+    # sampled SET is an exact DuckDB twin by construction — membership
+    # is a pure function of (doc_id, salt, seed, fraction)
+    from oboyu_spark.operators.sampling import deterministic_sample
 
-    return minhash_signatures(_docs(spark, sf_dir), num_perm=4)
+    return deterministic_sample(_docs(spark, sf_dir), 0.25, seed=9) \
+        .select("doc_id", "text", "lang")
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,12 +392,15 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc_id", F.round("score", ROUND).alias("score"))
 
 
-def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit SimHash as two independent 32-bit halves (one aggregate,
-    # single shuffle) — exact DuckDB twin
-    from oboyu_spark.operators.dedup import simhash64
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing, concat-and-split mode (VERDICT r5 #2 rotation):
+    # ONE window cumsum per md5-hashed bucket; every doc's
+    # (seq_first, seq_last, offset) is arithmetic on its cumulative
+    # span — exact SQL twin
+    from oboyu_spark.operators.packing import pack_sequences
 
-    return simhash64(_docs(spark, sf_dir))
+    return pack_sequences(_docs(spark, sf_dir), budget=256, n_buckets=8,
+                          bucket_hash_mode="md5")
 
 
 def _q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,8 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_pairs": _q_winnow_near_pairs,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_signatures": _q_minhash_signatures,
-        "simhash64": _q_simhash64,
+        "sampled_docs": _q_sampled_docs,
+        "packed_sequences": _q_packed_sequences,
         "simhash64_near_pairs": _q_simhash64_near_pairs,
         "embed_docs": _q_embed_docs,
         "weighted_fusion": _q_weighted_fusion,
@@ -758,8 +772,9 @@ FROM documents d JOIN top ON d.doc_id = top.doc_id""",
                                                      max_fp_df=20),
         "exact_dup_groups": O.exact_dup_groups_sql(),
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.2),
-        "minhash_signatures": O.minhash_signatures_sql(num_perm=4),
-        "simhash64": O.simhash64_sql(),
+        "sampled_docs": O.deterministic_sample_sql(0.25, seed=9),
+        "packed_sequences": O.pack_sequences_split_sql(budget=256,
+                                                       n_buckets=8),
         "simhash64_near_pairs": O.simhash64_near_pairs_sql(max_hamming=8),
         "weighted_fusion": O.weighted_fusion_sql(RRF_QA, RRF_QB, k=20,
                                                  limit=10),

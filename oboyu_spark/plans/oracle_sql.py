@@ -1380,3 +1380,53 @@ fused AS (
 )
 SELECT doc_id, round(score, {ROUND}) AS score
 FROM fused ORDER BY round(score, {ROUND}) DESC, doc_id ASC LIMIT {limit}"""
+
+
+def deterministic_sample_sql(fraction: float, seed: int = 42,
+                             salt: str = "sample",
+                             table: str = "documents") -> str:
+    """Exact twin of sampling.deterministic_sample (hash_mode='md5'):
+    the membership gate is the md5-hex → UBIGINT device the dedup
+    family uses, so the sampled SET is cell-identical, not just
+    rate-similar. The per-operator salt is part of the hashed string
+    (sampling.py ADVICE r5 #4)."""
+    from ..operators.sampling import GATE_SPACE
+
+    cut = int(round(fraction * GATE_SPACE))
+    return f"""
+SELECT doc_id, text, lang
+FROM {table}
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#{salt}#{seed}'), 1, 8))
+      ::UBIGINT % {GATE_SPACE} < {cut}"""
+
+
+def pack_sequences_split_sql(budget: int, n_buckets: int = 8,
+                             table: str = "documents") -> str:
+    """Exact twin of packing.pack_sequences(split=True,
+    bucket_hash_mode='md5'): the bucket assignment is the md5 hash
+    gate, the token count is the engine tokenizer spec in RE2, and
+    each doc's (seq_first, seq_last, offset) is arithmetic on ONE
+    cumulative sum per bucket — the window-cumsum formulation the
+    operator's docstring promises has a SQL twin."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+          % {n_buckets})::INT AS bucket,
+         len(list_filter(regexp_extract_all(lower(text),
+                                            '{DUCKDB_TOKEN_PATTERN}'),
+                         x -> length(x) >= {MIN_TOKEN_LENGTH}))::BIGINT
+           AS n_tokens
+  FROM {table}
+),
+pos AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, bucket, n_tokens,
+       ((tok_end - n_tokens) // {budget})::BIGINT AS seq_first,
+       ((tok_end - 1) // {budget})::BIGINT AS seq_last,
+       ((tok_end - n_tokens) % {budget})::BIGINT AS "offset"
+FROM pos"""
