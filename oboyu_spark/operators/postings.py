@@ -607,7 +607,10 @@ def _build_one_part(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").alias("cf"),
     )
-    vocab_part.write.mode("overwrite").parquet(
+    # th1-sorted within files so the query-side df/part lookup prunes
+    # row groups on its pushed In(th1) filter — same device as the
+    # postings payload (searchidx reads vocab_parts, not vocabulary)
+    vocab_part.sortWithinPartitions("th1").write.mode("overwrite").parquet(
         f"{index_dir}/vocab_parts/bpart={p}"
     )
 

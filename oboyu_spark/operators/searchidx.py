@@ -46,6 +46,19 @@ RESULT_SCHEMA = "query_id int, doc_int long, score double"
 # Spark (cluster scale, 10^4+ shards)
 DRIVER_CUT_MAX_ROWS = 200_000
 
+# part-level pruning bounds: a term found in more bparts than this
+# prunes nothing (and its full part list would bloat the df cache at
+# hot-term vocabularies) — recorded as "all parts"; and a query whose
+# union of part lists exceeds the second bound skips the bpart filter
+# (a 10^4-literal In over a partition column costs more than it saves)
+PART_PRUNE_MAX_PER_TERM = 4096
+PART_PRUNE_MAX_UNION = 16384
+
+# observability seam (tests + ops): the last search's pruning decision
+# — which bparts the postings scan was limited to (None = no pruning
+# applied). Overwritten per _search call; read by test_plan_shapes.
+_LAST_SCAN_INFO: dict = {}
+
 
 def _query_maps(queries: Sequence[str], min_token_length: int):
     """qid -> [(term, qtf)], and the union term set."""
@@ -217,15 +230,26 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
+        import os
+
         self._dfs = {
             "postings": spark.read.parquet(f"{index_dir}/postings"),
             "vocabulary": spark.read.parquet(f"{index_dir}/vocabulary"),
             "docmap": spark.read.parquet(f"{index_dir}/docmap"),
         }
+        if os.path.isdir(f"{index_dir}/vocab_parts"):
+            # per-part partials: the df lookup reads these instead of
+            # the merged vocabulary (same dfs, summed) so every lookup
+            # also learns which bparts contain each term — the input
+            # to part-level postings pruning
+            self._dfs["vocab_parts"] = spark.read.parquet(
+                f"{index_dir}/vocab_parts"
+            )
         if cache:
             for df in self._dfs.values():
                 df.persist()
-        # (th1, th2) -> document_frequency, filled lazily per search.
+        # (th1, th2) -> (document_frequency, containing bparts) or
+        # None for absent terms, filled lazily per search.
         # Serving workloads repeat query terms heavily; once a term is
         # cached, searches using only cached terms skip the vocabulary
         # job entirely (one less Spark job per query). Bounded — the
@@ -292,6 +316,15 @@ def _search(
             return dfs[name]
         return spark.read.parquet(f"{index_dir}/{name}")
 
+    def vocab_parts_table() -> DataFrame | None:
+        """Per-part vocab partials, or None on a legacy layout."""
+        import os
+
+        if dfs is not None:
+            return dfs.get("vocab_parts")
+        p = f"{index_dir}/vocab_parts"
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
     k1, b = meta["k1"], meta["b"]
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     shard_size = meta["shard_size"]
@@ -320,32 +353,83 @@ def _search(
         for t in all_terms
     }
     # df per term: serve from the reader's cache where possible (the
-    # cache stores the reader's SNAPSHOT of df, incl. "absent" as None
-    # — consistent with the persisted DataFrames); run the vocabulary
-    # job only for terms not seen before. idf is derived fresh from
-    # df + current n_docs, so collection stats are never cached.
+    # cache stores the reader's SNAPSHOT of (df, containing bparts),
+    # incl. "absent" as None — consistent with the persisted
+    # DataFrames); run the lookup job only for terms not seen before.
+    # idf is derived fresh from df + current n_docs, so collection
+    # stats are never cached. The lookup reads the PER-PART vocabulary
+    # partials instead of the merged vocabulary: the global df is their
+    # sum by construction (finalize_index builds `vocabulary` as
+    # exactly this groupBy-sum), and the same job yields the set of
+    # bparts containing each term — the part-level pruning input
+    # (VERDICT r5 #3: postings are doc-range-sharded, so without this
+    # every search opens every bpart's footers; at 10^4+ parts that
+    # fan-out is the latency floor for selective queries).
     df_by_hash: dict[tuple[int, int], int | None] = {}
+    parts_by_hash: dict[tuple[int, int], tuple | None] = {}
     missing: list[tuple[int, int]] = []
     for h in term_to_hash.values():
         if df_cache is not None and h in df_cache:
-            df_by_hash[h] = df_cache[h]
+            cached = df_cache[h]
+            if cached is None:
+                df_by_hash[h] = None
+            else:
+                df_by_hash[h], parts_by_hash[h] = cached
         else:
             missing.append(h)
     if missing:
         hash_df = spark.createDataFrame(missing, "th1 long, th2 long")
-        vocab = (
-            table("vocabulary")
-            .join(F.broadcast(hash_df), ["th1", "th2"])
-            .collect()
-        )
-        found = {
-            (r["th1"], r["th2"]): int(r["document_frequency"]) for r in vocab
-        }
+        vp = vocab_parts_table()
+        miss_h1 = sorted({h1 for h1, _ in missing})
+        if vp is not None:
+            vocab = (
+                # the In(th1) filter is PUSHED to the scan (partials
+                # are th1-sorted within files → row-group pruning);
+                # the broadcast join then applies the exact pair match
+                vp.filter(F.col("th1").isin(miss_h1))
+                .join(F.broadcast(hash_df), ["th1", "th2"])
+                .groupBy("th1", "th2")
+                .agg(
+                    F.sum("df").alias("document_frequency"),
+                    F.collect_set("bpart").alias("bparts"),
+                )
+                .collect()
+            )
+            found = {}
+            for r in vocab:
+                parts = tuple(sorted(int(p) for p in r["bparts"]))
+                if len(parts) > PART_PRUNE_MAX_PER_TERM:
+                    # a term present in this many parts prunes nothing
+                    # — and caching its full part list for 10^6 hot
+                    # terms would blow the driver cache; record "all"
+                    parts = None
+                found[(r["th1"], r["th2"])] = (
+                    int(r["document_frequency"]), parts
+                )
+        else:
+            # legacy layout without vocab_parts: merged vocabulary df,
+            # no part information (searches scan every bpart)
+            vocab = (
+                table("vocabulary")
+                .filter(F.col("th1").isin(miss_h1))
+                .join(F.broadcast(hash_df), ["th1", "th2"])
+                .collect()
+            )
+            found = {
+                (r["th1"], r["th2"]): (int(r["document_frequency"]), None)
+                for r in vocab
+            }
         for h in missing:
-            df_by_hash[h] = found.get(h)
+            df_by_hash[h] = found[h][0] if h in found else None
+            if h in found:
+                parts_by_hash[h] = found[h][1]
         if df_cache is not None and len(df_cache) < IndexReader.DF_CACHE_MAX:
             df_cache.update(
-                {h: df_by_hash[h] for h in missing}
+                {
+                    h: (None if df_by_hash[h] is None
+                        else (df_by_hash[h], parts_by_hash.get(h)))
+                    for h in missing
+                }
             )
     for h, df in df_by_hash.items():
         if df is not None and n_docs - df + 0.5 <= 0:
@@ -374,6 +458,22 @@ def _search(
     idf_map = idf_by_hash
     live_h1 = sorted({h1 for h1, _ in idf_by_hash})
     postings = table("postings").filter(F.col("th1").isin(live_h1))
+    # part-level pruning: read ONLY the bpart= directories that contain
+    # at least one live query term (bpart is a partition column — the
+    # isin lands in the scan's PartitionFilters, so unrelated parts'
+    # files are never opened, footer reads included). Skipped when any
+    # live term's part set was too large to track (it spans everything
+    # anyway) or when the union itself stops being selective.
+    part_sets = [parts_by_hash.get(h) for h in idf_by_hash]
+    _LAST_SCAN_INFO.clear()
+    _LAST_SCAN_INFO["live_parts"] = None
+    if all(ps is not None for ps in part_sets):
+        live_parts = sorted(set().union(*part_sets))
+        if len(live_parts) <= PART_PRUNE_MAX_UNION:
+            postings = postings.filter(
+                F.col("bpart").isin([int(p) for p in live_parts])
+            )
+            _LAST_SCAN_INFO["live_parts"] = live_parts
 
     from .postings import load_tombstones
 
