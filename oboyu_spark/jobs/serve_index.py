@@ -47,6 +47,20 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 
 
+# warm IVF handles per index dir: the vector branch's lists are cached
+# once per serving process (the mirror of the long-lived IndexReader),
+# not re-read per request
+_IVF_READERS: dict = {}
+
+
+def _get_ivf_reader(spark, ivf_dir: str):
+    if ivf_dir not in _IVF_READERS:
+        from oboyu_spark.operators.similarity import IvfReader
+
+        _IVF_READERS[ivf_dir] = IvfReader(spark, ivf_dir)
+    return _IVF_READERS[ivf_dir]
+
+
 def handle_request(
     reader,
     req: "str | dict[str, Any]",
@@ -86,27 +100,34 @@ def handle_request(
         if mode == "hybrid" and ivf_dir is None:
             return {"error": "hybrid mode needs --ivf", "query": query}
 
+        def hybrid_rows(limit: int) -> "list[tuple[str, float]]":
+            # the warm fold (VERDICT r5 #5): one Spark job per branch
+            # (BM25 driver-cut + cached-IVF pruned TakeOrdered), fusion
+            # in pure python on the ≤ k_each collected rows — a warm
+            # hybrid query is two jobs, down from job-per-fusion-stage
+            from oboyu_spark.operators.embed import embed_text
+            from oboyu_spark.operators.hybrid import hybrid_search_folded
+
+            ivf = _get_ivf_reader(reader.spark, ivf_dir)
+            qvec = embed_text(query, dim=ivf.meta["dim"],
+                              model=embed_model)
+            return hybrid_search_folded(
+                reader, ivf, query, qvec,
+                k_each=int(req.get("k_each", max(20, limit))),
+                limit=limit, mode=req.get("fusion", "rrf"),
+                nprobe=int(req.get("nprobe", 4)),
+            )
+
         def retrieve(limit: int) -> DataFrame:
             if mode == "hybrid":
-                from oboyu_spark.operators.embed import embed_text
-                from oboyu_spark.operators.hybrid import (
-                    hybrid_search_indexed,
-                )
-                from oboyu_spark.operators.similarity import ivf_load_sidecar
+                from pyspark.sql import functions as F
 
-                meta = ivf_load_sidecar(ivf_dir)
-                qvec = embed_text(query, dim=meta["dim"], model=embed_model)
-                res = hybrid_search_indexed(
-                    reader, None, query, qvec,
-                    k_each=int(req.get("k_each", max(20, limit))),
-                    limit=limit, mode=req.get("fusion", "rrf"),
-                    ivf_dir=ivf_dir, nprobe=int(req.get("nprobe", 4)),
+                res = reader.spark.createDataFrame(
+                    hybrid_rows(limit), "doc_id string, score double"
                 )
                 if docs is not None:
-                    # the fusion join runs on string ids; cast back to
-                    # the docs frame's id type so hydration joins land
-                    from pyspark.sql import functions as F
-
+                    # the fold runs on string ids; cast back to the
+                    # docs frame's id type so hydration joins land
                     res = res.withColumn(
                         "doc_id",
                         F.col("doc_id").cast(docs.schema["doc_id"].dataType),
@@ -134,6 +155,9 @@ def handle_request(
                 # collected rows in Python rather than spending a Spark
                 # orderBy job on them (VERDICT r3 nit)
                 rows.sort(key=lambda r: (-r["rerank_score"], r["doc_id"]))
+        elif mode == "hybrid" and not hydrate:
+            # fully-folded response: no result frame, no collect job
+            rows = [{"doc_id": d, "score": s} for d, s in hybrid_rows(k)]
         else:
             res = retrieve(k)
             if hydrate:

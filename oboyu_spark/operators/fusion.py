@@ -84,6 +84,56 @@ def weighted_fuse(
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-side twins (serving latency path)
+#
+# Fusion always runs over two TOP-K lists — a handful of driver-known
+# rows after the branch searches collect. The serving fold (VERDICT r5
+# #5) fuses those rows in pure python instead of spending Spark jobs on
+# 20-row window/join plans. Each twin replicates its DataFrame
+# sibling's arithmetic EXPRESSION-FOR-EXPRESSION (same IEEE-754 op
+# order), so results are bit-identical — pinned by test_fusion.
+# ---------------------------------------------------------------------------
+
+def rrf_fuse_rows(a, b, rrf_k: int = RRF_K_DEFAULT, limit: int = 10):
+    """Pure-python twin of :func:`rrf_fuse` over collected
+    (doc_id, score) tuples; returns fused (doc_id, score) tuples."""
+    ra = {d: i + 1 for i, (d, _) in
+          enumerate(sorted(a, key=lambda t: (-t[1], t[0])))}
+    rb = {d: i + 1 for i, (d, _) in
+          enumerate(sorted(b, key=lambda t: (-t[1], t[0])))}
+    fused = []
+    for d in set(ra) | set(rb):
+        s = (1.0 / (rrf_k + ra[d]) if d in ra else 0.0) \
+            + (1.0 / (rrf_k + rb[d]) if d in rb else 0.0)
+        fused.append((d, s))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    return fused[:limit]
+
+
+def normalize_scores_rows(rows):
+    """Pure-python twin of :func:`normalize_scores` (min_max)."""
+    if not rows:
+        return []
+    scores = [s for _, s in rows]
+    mn, mx = min(scores), max(scores)
+    if mx == mn:
+        return list(rows)
+    return [(d, min(1.0, max(0.0, (s - mn) / (mx - mn)))) for d, s in rows]
+
+
+def weighted_fuse_rows(a, b, weight_a: float = 0.7, weight_b: float = 0.3,
+                       limit: int = 10):
+    """Pure-python twin of :func:`weighted_fuse`."""
+    total = weight_a + weight_b
+    wa, wb = (weight_a / total, weight_b / total) if total > 0 else (0.7, 0.3)
+    sa = {d: s * wa for d, s in a}
+    sb = {d: s * wb for d, s in b}
+    fused = [(d, sa.get(d, 0.0) + sb.get(d, 0.0)) for d in set(sa) | set(sb)]
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    return fused[:limit]
+
+
 def merge_dedup(*results: DataFrame, limit: int | None = None) -> DataFrame:
     """Union result lists, keep the max score per doc, sort desc."""
     out = results[0]

@@ -137,3 +137,50 @@ def hybrid_search_indexed(
             weight_a=weight_text, weight_b=1.0 - weight_text, limit=limit,
         )
     raise ValueError(f"unknown hybrid mode {mode!r}")
+
+
+def hybrid_search_folded(
+    reader,
+    ivf,
+    query: str,
+    query_vec: Sequence[float],
+    k_each: int = 20,
+    limit: int = 10,
+    mode: str = "rrf",
+    rrf_k: int = RRF_K_DEFAULT,
+    weight_text: float = 0.5,
+    nprobe: int = 4,
+) -> "list[tuple[str, float]]":
+    """Warm-serving fold of :func:`hybrid_search_indexed` (VERDICT r5
+    #5): run the two branch top-k searches (one Spark job each — the
+    BM25 reader's driver-cut path and the IVF reader's pruned
+    TakeOrdered), collect their ≤ ``k_each`` rows, and fuse on the
+    DRIVER with the pure-python fusion twins — zero Spark jobs for
+    fusion, no result-frame round-trip. Returns fused (doc_id, score)
+    tuples ready for the serving response. Score- and rank-identical
+    to ``hybrid_search_indexed`` (twins replicate the DataFrame
+    arithmetic op-for-op; pinned by test_serve / test_fusion).
+
+    ``ivf`` is a warm :class:`~oboyu_spark.operators.similarity.
+    IvfReader` (lists cached once at serve startup)."""
+    from .fusion import (
+        normalize_scores_rows, rrf_fuse_rows, weighted_fuse_rows,
+    )
+
+    text_rows = [
+        (str(r["doc_id"]), float(r["score"]))
+        for r in reader.search(query, k=k_each).collect()
+    ]
+    vec_rows = [
+        (str(r["vec_id"]), float(r["cosine"]))
+        for r in ivf.search(query_vec, k=k_each, nprobe=nprobe).collect()
+    ]
+    if mode == "rrf":
+        return rrf_fuse_rows(text_rows, vec_rows, rrf_k=rrf_k, limit=limit)
+    if mode == "weighted":
+        return weighted_fuse_rows(
+            normalize_scores_rows(text_rows),
+            normalize_scores_rows(vec_rows),
+            weight_a=weight_text, weight_b=1.0 - weight_text, limit=limit,
+        )
+    raise ValueError(f"unknown hybrid mode {mode!r}")

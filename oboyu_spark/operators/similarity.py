@@ -581,6 +581,47 @@ def ivf_search(
                        round_digits=round_digits)
 
 
+class IvfReader:
+    """Warm IVF query handle — the vector-branch mirror of the BM25
+    :class:`~oboyu_spark.operators.searchidx.IndexReader`: lists cached
+    in executor memory, centroid sidecar loaded once. A per-query
+    ``ivf_search`` re-reads the parquet footers and sidecar; a serving
+    process should pay that once at open. Searches on the cached
+    relation still prune to the probed ``list_id`` partitions (the
+    in-memory scan keeps per-batch partition stats). Tombstones are
+    re-read per search (a delete lands immediately); rows appended via
+    ``ivf_append`` AFTER open are not visible until reopen — the same
+    snapshot contract as IndexReader."""
+
+    def __init__(self, spark, index_dir: str, cache: bool = True) -> None:
+        from .dedup import _recover_swap
+
+        _recover_swap(index_dir, "lists")
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = ivf_load_sidecar(index_dir)
+        self.lists = spark.read.parquet(f"{index_dir}/lists")
+        if cache:
+            self.lists.persist()
+
+    def search(self, query_vec: Sequence[float], k: int = 10,
+               nprobe: int = 4,
+               round_digits: int | None = None) -> DataFrame:
+        probes = _probe_lists(self.meta["centroids"], query_vec, nprobe,
+                              quantize=self.meta["quantize"])
+        cand = _mask_tombstones(
+            self.lists.filter(F.col("list_id").isin(probes)).select(
+                "vec_id", "embedding"
+            ),
+            self.index_dir,
+        )
+        return cosine_topk(cand, query_vec, k, "vec_id", "embedding",
+                           round_digits=round_digits)
+
+    def close(self) -> None:
+        self.lists.unpersist()
+
+
 def lsh_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

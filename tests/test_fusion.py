@@ -56,6 +56,45 @@ def test_weighted(spark):
     assert [r["doc_id"] for r in got] == [d for d, _ in expl]
 
 
+def test_driver_fold_twins_bit_identical(spark):
+    """The pure-python fusion twins (serving fold, VERDICT r5 #5) must
+    be BIT-identical to their DataFrame siblings — same IEEE op order,
+    same tie-breaks — on ties, disjoint ids, and clamped normalize."""
+    sa = [(str(d), s) for d, s in A]
+    sb = [(str(d), s) for d, s in B]
+    dfa = spark.createDataFrame(sa, "doc_id string, score double")
+    dfb = spark.createDataFrame(sb, "doc_id string, score double")
+
+    got = FU.rrf_fuse_rows(sa, sb, limit=10)
+    exp = [(r["doc_id"], r["score"])
+           for r in FU.rrf_fuse(dfa, dfb, limit=10).collect()]
+    assert got == exp  # exact, not approx
+
+    got_w = FU.weighted_fuse_rows(
+        FU.normalize_scores_rows(sa), FU.normalize_scores_rows(sb),
+        0.7, 0.3, limit=10)
+    exp_w = [(r["doc_id"], r["score"])
+             for r in FU.weighted_fuse(
+                 FU.normalize_scores(dfa), FU.normalize_scores(dfb),
+                 0.7, 0.3, limit=10).collect()]
+    assert got_w == exp_w
+
+    # degenerate branches: constant scores (mx == mn) and empty side
+    const = [("a", 2.0), ("b", 2.0)]
+    dconst = spark.createDataFrame(const, "doc_id string, score double")
+    assert FU.normalize_scores_rows(const) == [
+        (r["doc_id"], r["score"])
+        for r in FU.normalize_scores(dconst)
+        .orderBy("doc_id").collect()
+    ]
+    assert FU.normalize_scores_rows([]) == []
+    empty = spark.createDataFrame([], "doc_id string, score double")
+    assert FU.rrf_fuse_rows(sa, [], limit=5) == [
+        (r["doc_id"], r["score"])
+        for r in FU.rrf_fuse(dfa, empty, limit=5).collect()
+    ]
+
+
 def test_merge_dedup(spark):
     got = FU.merge_dedup(_df(spark, A), _df(spark, B)).collect()
     exp = {}
