@@ -78,6 +78,94 @@ def dedup_stream(
     return writer.start()
 
 
+NEAR_DROP_ISIN_MAX = 10_000
+
+
+def _near_dedup_handler(base, index_dir: str, minhash_dir: str,
+                        threshold: float, num_perm: int, bands: int):
+    """Wrap the ingest handler with a streaming NEAR-dedup stage
+    backed by the persisted incremental MinHash index (VERDICT r5 #7).
+
+    Per micro-batch: sign the batch and band-join it against the index
+    (``minhash_index_append_pairs`` — old corpus ∪ the batch itself,
+    O(batch) work), then apply the batch pipeline's drop-higher-id
+    policy. Every (doc_a < doc_b) pair is discovered exactly when its
+    LATER-arriving member lands, so applying the drop per batch
+    reconstructs the full-corpus drop set regardless of arrival order:
+
+    - doc_b in the batch → not indexed (its SIGNATURE stays in the
+      MinHash index — the batch policy computes pairs over the full
+      corpus including dropped docs, so future docs pairing only with
+      a dropped doc are still dropped);
+    - doc_b already indexed (a lower-id near-dup arrived late) →
+      ``delete_docs`` tombstones it retroactively.
+
+    Net: the live index holds exactly the docs
+    ``prepare_corpus(near_threshold=...)`` would keep over the same
+    corpus (pinned by test_streaming), compaction deferred to the
+    usual ``compact_index`` maintenance. Replays are safe: a finalized
+    batch id short-circuits; a crash between the MinHash append and
+    the index append re-appends the signatures into a fresh batch dir
+    (newest-batch-wins resolution) and recomputes identical pairs from
+    the frozen files."""
+    import os
+
+    from ..operators.dedup import (
+        minhash_index_append_pairs, minhash_index_build,
+    )
+    from ..operators.postings import delete_docs, load_tombstones
+    from .ingest import _done_batches
+
+    def handler(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if int(batch_id) in _done_batches(index_dir):
+            return  # replay of a fully-finalized batch
+        spark = batch_df.sparkSession
+        if not os.path.exists(f"{minhash_dir}/minhash.json"):
+            # EMPTY bootstrap (sidecar + schema'd empty batch=0): the
+            # first real batch then takes the same append path as every
+            # other — in-batch pairs included
+            minhash_index_build(batch_df.limit(0), minhash_dir,
+                                num_perm=num_perm, bands=bands)
+        pairs = minhash_index_append_pairs(batch_df, minhash_dir,
+                                           threshold=threshold)
+        drop_ids = sorted(
+            r["doc_id"] for r in
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            .collect()
+        )
+        if drop_ids:
+            if len(drop_ids) <= NEAR_DROP_ISIN_MAX:
+                batch_df = batch_df.filter(
+                    ~F.col("doc_id").isin(drop_ids)
+                )
+            else:
+                drop_f = spark.createDataFrame(
+                    [(d,) for d in drop_ids],
+                    batch_df.select("doc_id").schema,
+                )
+                batch_df = batch_df.join(drop_f, "doc_id", "left_anti")
+            # retroactive branch: ids already in the live index
+            if os.path.isdir(f"{index_dir}/docmap"):
+                tomb = {int(t) for t in load_tombstones(index_dir)}
+                hit = (
+                    spark.read.parquet(f"{index_dir}/docmap")
+                    .filter(F.col("doc_id").isin(drop_ids))
+                    .select("doc_id", "doc_int")
+                    .collect()
+                )
+                indexed = sorted(
+                    {r["doc_id"] for r in hit
+                     if int(r["doc_int"]) not in tomb}
+                )
+                if indexed:
+                    delete_docs(spark, index_dir, indexed)
+        base(batch_df, batch_id)
+
+    return handler
+
+
 def curate_and_index_stream(
     spark: SparkSession,
     input_dir: str,
@@ -87,28 +175,48 @@ def curate_and_index_stream(
     watermark: str | None = None,
     schema: str = DOC_SCHEMA,
     trigger_once: bool = True,
+    near_threshold: float | None = None,
+    minhash_dir: str | None = None,
+    num_perm: int = 16,
+    bands: int = 8,
 ):
     """ONE stream from raw documents to a live BM25 index: quality gate
     (stateless, fused before the state store) → stateful exact dedup →
-    ``append_docs`` per micro-batch via the replay-guarded ingest
+    [optional streaming NEAR-dedup against a persisted MinHash index]
+    → ``append_docs`` per micro-batch via the replay-guarded ingest
     handler (batch manifest + docmap anti-join — streaming/ingest).
     The full curate-on-arrival deployment shape: junk and duplicates
     never reach the index, and the resulting index equals a batch
     build over the batch-curated corpus (pinned by test_streaming).
 
-    Near-dedup intentionally stays a batch pass (pair joins need
-    corpus-wide candidate generation); compose ``sync_docs`` or
-    ``delete_docs``+``compact_index`` downstream for removal."""
+    ``near_threshold`` + ``minhash_dir`` enable the near-dedup lens
+    (VERDICT r5 #7): each batch is signed once into the incremental
+    MinHash index and band-joined against it — O(batch) per refresh —
+    and the batch pipeline's drop-higher-id policy is applied,
+    retroactively tombstoning an indexed doc when a lower-id near-dup
+    arrives later (see ``_near_dedup_handler``). Ordering caveat: the
+    stream's quality gate runs BEFORE near-dedup, while
+    ``prepare_corpus`` near-dedups the pre-quality corpus — survivor
+    sets diverge only when a sub-quality doc near-pairs a surviving
+    one (same deliberate divergence as the exact stage, documented on
+    ``prepare_stream``)."""
     from ..operators.textstats import quality_score
 
     from .ingest import handle_batch_factory
 
+    if (near_threshold is None) != (minhash_dir is None):
+        raise ValueError(
+            "near_threshold and minhash_dir must be set together"
+        )
     stream = spark.readStream.schema(schema).parquet(input_dir)
     if min_quality is not None:
         stream = stream.filter(quality_score(F.col("text")) >= min_quality)
     survivors = dedup_stream_frame(stream, watermark=watermark) \
         .select("doc_id", "text")
     handler = handle_batch_factory(index_dir)
+    if near_threshold is not None:
+        handler = _near_dedup_handler(handler, index_dir, minhash_dir,
+                                      near_threshold, num_perm, bands)
     writer = (
         survivors.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint_dir)

@@ -88,11 +88,21 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8,32")
     ap.add_argument("--convs", type=int, default=20000)
     ap.add_argument("--words-scale", type=int, default=8)
+    ap.add_argument("--wide-docs", type=int, default=100_000,
+                    help="wide-vocabulary corpus size (0 disables the "
+                         "wide-vocab rows)")
+    ap.add_argument("--wide-vocab", type=int, default=300_000)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
     corpus_path = f"/tmp/scaling_corpus_{args.convs}_{args.words_scale}"
-    if not os.path.exists(corpus_path + "/_SUCCESS"):
+    wide_path = f"/tmp/scaling_widevocab_{args.wide_docs}_{args.wide_vocab}"
+    need_gen = not os.path.exists(corpus_path + "/_SUCCESS") or (
+        args.wide_docs and not os.path.exists(wide_path + "/_SUCCESS")
+    )
+    if need_gen:
+        from pyspark.sql import functions as F
+
         from oboyu_spark.session import get_spark
         from oboyu_spark.sources.transcripts import (
             synthesize_transcripts,
@@ -100,13 +110,36 @@ def main() -> None:
         )
 
         spark = get_spark(cores=8, driver_memory="16g", app_name="scaling_gen")
-        tr = synthesize_transcripts(
-            spark, n_convs=args.convs, max_turns=20, seed=42,
-            words_scale=args.words_scale,
-        )
-        turns_as_docs(tr).select("doc_id", "text").write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+        if not os.path.exists(corpus_path + "/_SUCCESS"):
+            tr = synthesize_transcripts(
+                spark, n_convs=args.convs, max_turns=20, seed=42,
+                words_scale=args.words_scale,
+            )
+            turns_as_docs(tr).select("doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(corpus_path)
+        if args.wide_docs and not os.path.exists(wide_path + "/_SUCCESS"):
+            # VERDICT r5 #6: the transcript corpus has a 44-word
+            # vocabulary, so its scaling number never exercises the
+            # encoder's posting-GROUP scaling (one group per distinct
+            # (term, shard)); this corpus draws 30 words/doc from a
+            # wide vocabulary — same construction as bench.py's
+            # build_widevocab gate
+            wv = spark.range(args.wide_docs).select(
+                F.format_string("wv#%07d", F.col("id")).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(30)),
+                        lambda j: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.xxhash64(F.col("id"), j),
+                                   F.lit(args.wide_vocab)),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            wv.write.mode("overwrite").parquet(wide_path)
         spark.stop()
 
     script = tempfile.NamedTemporaryFile(
@@ -115,60 +148,78 @@ def main() -> None:
     script.write(WORKER)
     script.close()
 
-    runs: dict[int, list[dict]] = {lv: [] for lv in levels}
+    corpora = [("transcripts", corpus_path)]
+    if args.wide_docs:
+        corpora.append(("widevocab", wide_path))
+    runs: dict[tuple, list[dict]] = {
+        (kind, lv): [] for kind, _ in corpora for lv in levels
+    }
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     n_cores = os.cpu_count() or 32
     for r in range(args.rounds):
         for lv in levels:
-            # CPU-affinity pin: local[N] only caps TASK slots — GC,
-            # shuffle/IO and python workers would leak extra cores and
-            # flatter the small configs. taskset makes "N cores" real,
-            # like an executor with N cores on a cluster.
-            cmd = [sys.executable, script.name, str(lv), corpus_path]
-            if lv < n_cores:
-                cmd = ["taskset", "-c", f"0-{lv - 1}"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True, text=True, env=env, timeout=1800,
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("WORKER_RESULT "):
-                    res = json.loads(line[len("WORKER_RESULT "):])
-                    runs[lv].append(res)
-                    print(f"round {r} level {lv}: {res}", file=sys.stderr)
+            for kind, path in corpora:
+                # CPU-affinity pin: local[N] only caps TASK slots — GC,
+                # shuffle/IO and python workers would leak extra cores
+                # and flatter the small configs. taskset makes "N
+                # cores" real, like an executor with N cores on a
+                # cluster.
+                cmd = [sys.executable, script.name, str(lv), path]
+                if lv < n_cores:
+                    cmd = ["taskset", "-c", f"0-{lv - 1}"] + cmd
+                out = subprocess.run(
+                    cmd,
+                    capture_output=True, text=True, env=env, timeout=1800,
+                )
+                for line in out.stdout.splitlines():
+                    if line.startswith("WORKER_RESULT "):
+                        res = json.loads(line[len("WORKER_RESULT "):])
+                        runs[(kind, lv)].append(res)
+                        print(f"round {r} level {lv} {kind}: {res}",
+                              file=sys.stderr)
 
-    best = {}
-    for lv in levels:
-        if not runs[lv]:
-            continue
-        best[lv] = {
-            "build_s": min(x["build_s"] for x in runs[lv]),
-            "stage_s": min(x["stage_s"] for x in runs[lv]),
-            "parts_s": min(x["parts_s"] for x in runs[lv]),
-            "docs_per_s": max(x["docs_per_s"] for x in runs[lv]),
-            "tokens_per_s": max(x["tokens_per_s"] for x in runs[lv]),
-            "parts_tokens_per_s": max(x["parts_tokens_per_s"] for x in runs[lv]),
-            "qps": max(x["qps"] for x in runs[lv]),
-            "n_docs": runs[lv][0]["n_docs"],
-            "n_postings": runs[lv][0]["n_postings"],
+    def _best(rows: list[dict]) -> dict:
+        return {
+            "build_s": min(x["build_s"] for x in rows),
+            "stage_s": min(x["stage_s"] for x in rows),
+            "parts_s": min(x["parts_s"] for x in rows),
+            "docs_per_s": max(x["docs_per_s"] for x in rows),
+            "tokens_per_s": max(x["tokens_per_s"] for x in rows),
+            "parts_tokens_per_s": max(x["parts_tokens_per_s"] for x in rows),
+            "qps": max(x["qps"] for x in rows),
+            "n_docs": rows[0]["n_docs"],
+            "n_postings": rows[0]["n_postings"],
         }
 
-    effs = {}
-    for a, b in zip(levels, levels[1:]):
-        if a in best and b in best:
-            ratio = b / a
-            effs[f"{a}->{b}"] = {
-                "build": round(best[b]["docs_per_s"] / (ratio * best[a]["docs_per_s"]), 3),
-                "build_parts_phase": round(
-                    best[b]["parts_tokens_per_s"]
-                    / (ratio * best[a]["parts_tokens_per_s"]), 3),
-                "query": round(best[b]["qps"] / (ratio * best[a]["qps"]), 3),
-            }
+    def _effs(best: dict) -> dict:
+        out = {}
+        for a, b in zip(levels, levels[1:]):
+            if a in best and b in best:
+                ratio = b / a
+                out[f"{a}->{b}"] = {
+                    "build": round(
+                        best[b]["docs_per_s"] / (ratio * best[a]["docs_per_s"]), 3),
+                    "build_parts_phase": round(
+                        best[b]["parts_tokens_per_s"]
+                        / (ratio * best[a]["parts_tokens_per_s"]), 3),
+                    "query": round(best[b]["qps"] / (ratio * best[a]["qps"]), 3),
+                }
+        return out
 
-    report = {"levels": best, "efficiency": effs,
+    best = {lv: _best(runs[("transcripts", lv)])
+            for lv in levels if runs[("transcripts", lv)]}
+    report = {"levels": best, "efficiency": _effs(best),
               "corpus": {"path": corpus_path, "convs": args.convs,
                          "words_scale": args.words_scale},
               "rounds": args.rounds}
+    if args.wide_docs:
+        wbest = {lv: _best(runs[("widevocab", lv)])
+                 for lv in levels if runs[("widevocab", lv)]}
+        report["widevocab_levels"] = wbest
+        report["widevocab_efficiency"] = _effs(wbest)
+        report["widevocab_corpus"] = {"path": wide_path,
+                                      "docs": args.wide_docs,
+                                      "vocab": args.wide_vocab}
     print(json.dumps(report))
 
     _write_bench_md(report)
@@ -203,6 +254,36 @@ def _write_bench_md(report: dict) -> None:
             f"index build compute phase (tokenize+aggregate+encode) "
             f"**{eff['build_parts_phase']}**, batch query **{eff['query']}**"
         )
+    if report.get("widevocab_levels"):
+        wlv = report["widevocab_levels"]
+        wc = report["widevocab_corpus"]
+        lines += [
+            "",
+            "## Wide-vocabulary corpus (posting-group scaling — VERDICT r5 #6)",
+            "",
+            f"{next(iter(wlv.values()))['n_docs']:,} docs × 30 words "
+            f"from a {wc['vocab']:,}-term vocabulary "
+            f"({next(iter(wlv.values()))['n_postings']:,} postings) — the "
+            "encode stage's group-count scaling, which the 44-word "
+            "transcript vocabulary never touches.",
+            "",
+            "| local[N] | build sec | stage sec | parts sec | build tokens/s | parts-phase tokens/s | batch qps |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for n, row in sorted(wlv.items(), key=lambda kv: int(kv[0])):
+            lines.append(
+                f"| {n} | {row['build_s']} | {row['stage_s']} | "
+                f"{row['parts_s']} | {row['tokens_per_s']:,.0f} | "
+                f"{row['parts_tokens_per_s']:,.0f} | {row['qps']} |"
+            )
+        lines.append("")
+        for pair, eff in report["widevocab_efficiency"].items():
+            lines.append(
+                f"- cores {pair} (wide vocab): build end-to-end "
+                f"**{eff['build']}**, compute phase "
+                f"**{eff['build_parts_phase']}**, batch query "
+                f"**{eff['query']}**"
+            )
     lines += [
         "",
         "Notes: this sandbox is one shared NUMA box — beyond ~8-16 threads the",
