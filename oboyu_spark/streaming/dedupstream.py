@@ -23,7 +23,12 @@ standard Spark state/size trade-off made explicit:
 The emitted rows are the SURVIVORS (first arrival per fingerprint,
 content fingerprint = md5 of whitespace-collapsed text — the same
 fingerprint the batch operator and the docmap use, so survivors feed
-straight into append_docs / prepare_corpus).
+straight into append_docs / prepare_corpus). "First arrival" is
+guaranteed at micro-batch granularity: across batches the fingerprint
+STATE keeps the earlier batch's copy; WITHIN one micro-batch Spark's
+``dropDuplicates`` keeps an arbitrary copy (the batch operator keeps
+min id) — the only survivor-identity divergence vs ``dedup_exact``,
+and only for copies landing in the same batch.
 """
 
 from __future__ import annotations

@@ -619,17 +619,20 @@ def test_curate_stream_near_dedup_matches_batch_pipeline(spark, tmp_path):
         ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
 
     # batch 1: b10 + its in-batch near-dup b11 (b10 < b11 → b11
-    # dropped on arrival), unrelated b20, exact dup of b20 (dropped by
-    # the exact state)
+    # dropped on arrival), unrelated b20
     drop1 = [
         ("b10", base + "alpha", "2025-01-01 10:00:00"),
         ("b11", base + "alpha beta", "2025-01-01 10:01:00"),
         ("b20", other, "2025-01-01 10:02:00"),
-        ("b21", other, "2025-01-01 10:03:00"),  # exact dup of b20
     ]
-    # batch 2: b05 — a LOWER-id near-dup of the already-indexed b10 →
-    # the handler must retroactively tombstone b10; plus fresh b30
+    # batch 2: exact dup of b20 (cross-batch — the fingerprint STATE
+    # drops it deterministically; within one micro-batch Spark's
+    # dropDuplicates keeps an arbitrary copy, so exact-dup parity
+    # pins always split dups across batches), and b05 — a LOWER-id
+    # near-dup of the already-indexed b10 → the handler must
+    # retroactively tombstone b10; plus fresh b30
     drop2 = [
+        ("b21", other, "2025-01-01 10:10:00"),  # exact dup of b20
         ("b05", base + "alpha gamma", "2025-01-01 10:10:00"),
         ("b30", "streaming watermark eviction keeps bounded state while "
                 "late arrivals still join their windows correctly",
