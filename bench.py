@@ -200,7 +200,9 @@ def main() -> None:
             search_index(spark, idx_dir, q, k=10, scorer="bmw").collect()
 
         def run_warm(q):
-            reader.search(q, k=10).collect()
+            # the serving path shape (serve_index uses search_rows):
+            # driver-cut winners consumed as rows, no result-frame job
+            reader.search_rows(q, k=10)
 
         # Each component closure returns the seconds to report for one rep.
         # 5 queries per latency rep x 3 reps = 15 samples per component,

@@ -158,6 +158,14 @@ def handle_request(
         elif mode == "hybrid" and not hydrate:
             # fully-folded response: no result frame, no collect job
             rows = [{"doc_id": d, "score": s} for d, s in hybrid_rows(k)]
+        elif not hydrate:
+            # plain BM25 response: driver rows straight from the
+            # driver-cut path — no result frame, no collect job
+            rows = [
+                {"doc_id": d, "score": _json_id(s)}
+                for _, d, s in reader.search_rows(query, k=k,
+                                                  scorer=scorer, mode=mode)
+            ]
         else:
             res = retrieve(k)
             if hydrate:

@@ -168,8 +168,8 @@ def hybrid_search_folded(
     )
 
     text_rows = [
-        (str(r["doc_id"]), float(r["score"]))
-        for r in reader.search(query, k=k_each).collect()
+        (str(doc_id), float(score))
+        for _, doc_id, score in reader.search_rows(query, k=k_each)
     ]
     vec_rows = [
         (str(r["vec_id"]), float(r["cosine"]))

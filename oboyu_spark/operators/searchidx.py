@@ -220,7 +220,14 @@ class IndexReader:
 
     The serving deployment shape — open once, query many times. The
     first search pays cache materialization; subsequent searches scan
-    the in-memory columnar cache instead of parquet."""
+    the in-memory columnar cache instead of parquet.
+
+    Snapshot contract: the reader serves the index AS OF open —
+    bparts appended by ``append_docs`` after open (and docs removed by
+    ``compact_index``'s rewrite) are not visible until reopen (the
+    cached relations and the df/parts/docmap caches are all
+    open-time snapshots). Tombstones ARE re-read per search (deletes
+    mask immediately). Same contract as ``similarity.IvfReader``."""
 
     DF_CACHE_MAX = 1_000_000  # term-df cache entries (driver memory)
     DOCMAP_CACHE_MAX = 1_000_000  # doc_int -> doc_id entries (driver memory)
@@ -266,6 +273,19 @@ class IndexReader:
                        queries, k, scorer, mode, df_cache=self._df_cache,
                        docmap_cache=self._docmap_cache)
 
+    def search_rows(self, queries: str | Sequence[str], k: int = 10,
+                    scorer: str = "taat",
+                    mode: str = "or") -> "list[tuple[int, str, float]]":
+        """Like :meth:`search` but returns the final (query_id, doc_id,
+        score) tuples driver-side. On the warm driver-cut path the
+        winners are already driver-local, so this skips the
+        createDataFrame→collect round-trip — one whole Spark job off
+        every warm serving query (the serve loop and the hybrid fold
+        consume rows, not a frame)."""
+        return _search(self.spark, self.meta, self._dfs, self.index_dir,
+                       queries, k, scorer, mode, df_cache=self._df_cache,
+                       docmap_cache=self._docmap_cache, return_rows=True)
+
     def close(self) -> None:
         for df in self._dfs.values():
             df.unpersist()
@@ -299,7 +319,15 @@ def _search(
     mode: str = "or",
     df_cache: dict | None = None,
     docmap_cache: dict | None = None,
+    return_rows: bool = False,
 ) -> DataFrame:
+    """``return_rows=True`` returns the final results as a driver list
+    of (query_id, doc_id, score) tuples instead of a DataFrame. On the
+    driver-cut path the winners are ALREADY driver-local after the
+    scatter, so this skips the createDataFrame→collect round-trip — a
+    whole Spark job off the warm serving path (the fold consumers:
+    ``IndexReader.search_rows``, ``hybrid_search_folded``,
+    serve_index's plain response)."""
     if isinstance(queries, str):
         queries = [queries]
     from .postings import CODEC_VERSION
@@ -333,11 +361,15 @@ def _search(
     # BEFORE vocabulary filtering (absent terms make "and" empty)
     qreq = {qid: len(qterms) for qid, qterms in qmap.items()}
 
-    empty = spark.createDataFrame(
-        [], "query_id int, doc_id string, score double"
-    )
+    def ret_empty():
+        if return_rows:
+            return []
+        return spark.createDataFrame(
+            [], "query_id int, doc_id string, score double"
+        )
+
     if not all_terms or n_docs == 0 or avgdl <= 0:
-        return empty
+        return ret_empty()
 
     # hash the query terms exactly as the build did — driver-side
     # (pure-python XXH64 pinned against F.xxhash64; saves a Spark job
@@ -444,7 +476,7 @@ def _search(
         if df is not None
     }
     if not idf_by_hash:
-        return empty
+        return ret_empty()
 
     # rewrite query maps onto hash keys
     qmap = {
@@ -511,7 +543,7 @@ def _search(
         # (one fewer stage on the latency path; p50 matters in serving)
         top_rows = _driver_rank_cut(local.collect(), k)
         if not top_rows:
-            return empty
+            return ret_empty()
         # winners are driver-known ids → hydrate driver-side: one
         # pruned docmap scan for cache-missed ids (no join job), zero
         # Spark jobs when every winner is already cached in a warm
@@ -546,7 +578,9 @@ def _search(
             ranked = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
             final.extend((qid, d, s) for s, d in ranked)
         if not final:
-            return empty
+            return ret_empty()
+        if return_rows:
+            return final  # already (query_id, doc_id, score) tuples
         return spark.createDataFrame(
             final, "query_id int, doc_id string, score double"
         )
@@ -562,7 +596,7 @@ def _search(
         .collect()
     )
     if not top_rows:
-        return empty
+        return ret_empty()
     ids = sorted({int(r["doc_int"]) for r in top_rows})
     tiny = spark.createDataFrame(
         [(int(r["query_id"]), int(r["doc_int"]), float(r["score"]))
@@ -577,7 +611,7 @@ def _search(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         docmap.join(F.broadcast(tiny), "doc_int")
         .select("query_id", "doc_id", "score")
         .withColumn("rn", F.row_number().over(w2))
@@ -585,3 +619,7 @@ def _search(
         .drop("rn")
         .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
     )
+    if return_rows:
+        return [(int(r["query_id"]), r["doc_id"], float(r["score"]))
+                for r in out.collect()]
+    return out

@@ -112,6 +112,46 @@ def test_handle_hybrid_parity(spark, served, ivf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_warm_hybrid_is_three_spark_jobs(spark, served, ivf_dir):
+    """VERDICT r5 #5 structural pin: a fully-warm folded hybrid query
+    launches exactly THREE Spark jobs — the BM25 driver-cut scatter
+    (which AQE accounts as two jobs: the shuffle-map query stage plus
+    the result stage) and the pruned IVF TakeOrdered — with fusion and
+    result assembly in pure python (zero fusion/collect/createDataFrame
+    jobs; search_rows keeps the winners driver-side). Counted via a
+    job group."""
+    from oboyu_spark.operators.embed import embed_text
+    from oboyu_spark.operators.hybrid import hybrid_search_folded
+    from oboyu_spark.operators.similarity import IvfReader
+
+    reader, _, _ = served
+    ivf = IvfReader(spark, ivf_dir)
+    q = "spark index search"
+    vec = embed_text(q, dim=16)
+    # warm: cache materialization, term-df + docmap caches
+    warm = hybrid_search_folded(reader, ivf, q, vec, k_each=10, limit=5)
+    sc = spark.sparkContext
+    sc.setJobGroup("warmhybrid_pin", "two-job warm hybrid")
+    try:
+        rows = hybrid_search_folded(reader, ivf, q, vec, k_each=10,
+                                    limit=5)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert rows == warm and len(rows) == 5
+    jobs = sc.statusTracker().getJobIdsForGroup("warmhybrid_pin")
+    assert len(jobs) == 3, f"warm hybrid ran {len(jobs)} jobs: {jobs}"
+    # and the plain warm BM25 rows path is the scatter alone (2 AQE
+    # jobs, no result-frame job)
+    sc.setJobGroup("warmbm25_pin", "warm bm25 rows")
+    try:
+        reader.search_rows(q, k=5)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs2 = sc.statusTracker().getJobIdsForGroup("warmbm25_pin")
+    assert len(jobs2) == 2, f"warm bm25 ran {len(jobs2)} jobs: {jobs2}"
+    ivf.close()
+
+
 def test_handle_errors_do_not_kill_loop(served):
     reader, corpus, _ = served
     assert "error" in handle_request(reader, {"query": "x", "rerank": True})
