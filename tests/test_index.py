@@ -160,6 +160,38 @@ def test_conjunctive_mode(spark, corpus, index_dir):
         assert {r["doc_id"] for r in got} <= or_docs
 
 
+def test_search_legacy_layout_without_vocab_parts(spark, corpus,
+                                                  index_dir, tmp_path):
+    """An index dir without vocab_parts (legacy layout / hand-pruned
+    copy) must still search correctly through the merged-vocabulary
+    fallback — it just loses part-level pruning, and search_rows
+    matches the DataFrame path on both layouts."""
+    import shutil
+
+    from oboyu_spark.operators.searchidx import IndexReader, _LAST_SCAN_INFO
+
+    legacy = str(tmp_path / "legacy_idx")
+    shutil.copytree(index_dir, legacy)
+    shutil.rmtree(f"{legacy}/vocab_parts")
+    for q in ["spark index", "検索 索引"]:
+        exp = [(r["doc_id"], r["score"])
+               for r in search_index(spark, index_dir, q, k=8).collect()]
+        got = [(r["doc_id"], r["score"])
+               for r in search_index(spark, legacy, q, k=8).collect()]
+        assert got == exp, q
+        assert _LAST_SCAN_INFO["live_parts"] is None  # no pruning info
+    reader = IndexReader(spark, legacy)
+    try:
+        rows = reader.search_rows("spark index", k=8)
+        assert [(d, s) for _, d, s in rows] == [
+            (r["doc_id"], r["score"])
+            for r in search_index(spark, legacy, "spark index", k=8)
+            .collect()
+        ]
+    finally:
+        reader.close()
+
+
 def test_index_reader_matches_oneshot(spark, index_dir):
     from oboyu_spark.operators.searchidx import IndexReader
 
