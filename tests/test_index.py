@@ -213,7 +213,15 @@ def test_gather_paths_identical(spark, corpus, index_dir, monkeypatch):
     from oboyu_spark.operators import searchidx as SI
 
     fast = search_index(spark, index_dir, QUERIES, k=7).collect()
+    reader = SI.IndexReader(spark, index_dir, cache=False)
+    fast_rows = reader.search_rows(QUERIES, k=7)
     monkeypatch.setattr(SI, "DRIVER_CUT_MAX_ROWS", 0)  # force Spark window
     slow = search_index(spark, index_dir, QUERIES, k=7).collect()
+    slow_rows = reader.search_rows(QUERIES, k=7)
+    reader.close()
     key = lambda r: (r["query_id"], r["doc_id"], round(r["score"], 12))
     assert sorted(map(key, fast)) == sorted(map(key, slow))
+    # the rows API returns the same results through BOTH gather paths
+    rkey = lambda t: (t[0], t[1], round(t[2], 12))
+    assert sorted(map(rkey, fast_rows)) == sorted(map(key, fast))
+    assert sorted(map(rkey, slow_rows)) == sorted(map(rkey, fast_rows))
