@@ -1083,10 +1083,20 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: list) -> dict:
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Rewrite the staged slices containing tombstoned docs: survivors
     keep their (pid, rn) — and therefore their doc_int — untouched;
-    postings/vocab/docmap for the affected parts are rebuilt,
-    tombstones cleared, index re-finalized. Equivalent to the
+    postings/vocab/docmap for the affected parts are rebuilt, index
+    re-finalized, tombstones cleared LAST. Equivalent to the
     reference's remove_from_index + stats removal (I4/I5), done
-    partition-locally."""
+    partition-locally.
+
+    Crash-safe and idempotent: the tombstone file survives until the
+    final step, so a crash anywhere mid-compact leaves every search
+    still masking the deleted docs (the staged rewrite preserves
+    survivor (pid, rn) — re-running compact re-applies a no-op filter,
+    rebuilds the affected parts, and only then clears the mask). The
+    two-step slice swap's crash window (rmtree done, rename not) is
+    rolled FORWARD on entry: all replacement slices are fully written
+    before any swap starts, so an orphaned ``staged_tmp`` slice with
+    no live sibling is always complete."""
     import bisect
     import shutil
 
@@ -1111,6 +1121,16 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 off, pid = offs[i]
                 removals.setdefault((int(g["gen"]), pid), []).append(d - off)
 
+    # entry recovery: a prior compact that crashed between
+    # rmtree(live) and rename(tmp, live) left the slice orphaned in
+    # staged_tmp — roll it forward (it is complete by construction:
+    # every tmp is written before any swap begins)
+    for (gen, pid) in removals:
+        src = f"{index_dir}/staged/gen={gen}/pid={pid}"
+        tmp = f"{index_dir}/staged_tmp/gen={gen}/pid={pid}"
+        if not os.path.isdir(src) and os.path.isdir(tmp):
+            os.rename(tmp, src)
+
     for (gen, pid), rns in removals.items():
         src = f"{index_dir}/staged/gen={gen}/pid={pid}"
         tmp = f"{index_dir}/staged_tmp/gen={gen}/pid={pid}"
@@ -1123,7 +1143,6 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(f"{index_dir}/staged_tmp", ignore_errors=True)
     for p in affected:
         _write_manifest(index_dir, p, {"bpart": p, "status": "stale"})
-    os.remove(f"{index_dir}/tombstones/doc_ints.json")
 
     # rebuild stale parts
     for p in affected:
@@ -1132,7 +1151,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             meta["min_token_length"], None,
         )
         _write_manifest(index_dir, p, metrics)
-    return finalize_index(
+    out = finalize_index(
         spark, index_dir, meta["k1"], meta["b"], meta["min_token_length"],
         meta["shard_size"], meta["salt_chunk"],
     )
+    # clear the mask ONLY after the rebuilt parts are live and
+    # finalized — the rebuilt docmap no longer contains these ids, so
+    # finalize's tombstone filter above was a no-op, and a crash
+    # before this line merely masks ids that no longer exist
+    os.remove(f"{index_dir}/tombstones/doc_ints.json")
+    return out

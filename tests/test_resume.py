@@ -178,6 +178,79 @@ def test_delete_then_compact(spark, tmp_path):
             assert gs == pytest.approx(es, rel=1e-9, abs=1e-8)
 
 
+def test_compact_crash_windows_recover(spark, tmp_path, monkeypatch):
+    """A crash ANYWHERE mid-compact must never resurface deleted docs
+    or wedge the index: tombstones are cleared LAST (so every
+    mid-compact crash leaves the delete mask in force), and a slice
+    orphaned between the swap's rmtree and rename rolls FORWARD on the
+    next compact (same class as the minhash/IVF _recover_swap
+    windows, ADVICE r5 #2)."""
+    import bisect
+    import shutil
+
+    from oboyu_spark.operators import postings as P
+
+    docs = _corpus(spark, n_convs=40)
+    d = str(tmp_path / "crash")
+    build_index(docs, d, **KW)
+    before = _results(spark, d, k=20)
+    victims = sorted({x[0] for res in before.values() for x in res[:2]})[:3]
+    delete_docs(spark, d, victims)
+    masked = _results(spark, d, k=12)
+
+    # expected end state: a clean compact on a byte-identical clone
+    clone = str(tmp_path / "clone")
+    shutil.copytree(d, clone)
+    compact_index(spark, clone)
+    expected = _results(spark, clone, k=12)
+
+    # crash window 1: staged rewrite done, part rebuild blows up —
+    # tombstones must still be in force afterwards
+    real_build = P._build_one_part
+
+    def boom(*a, **k):
+        raise RuntimeError("injected compact crash")
+
+    monkeypatch.setattr(P, "_build_one_part", boom)
+    with pytest.raises(RuntimeError, match="injected compact crash"):
+        compact_index(spark, d)
+    monkeypatch.setattr(P, "_build_one_part", real_build)
+    assert os.path.exists(f"{d}/tombstones/doc_ints.json"), \
+        "tombstones must survive a mid-compact crash"
+    assert _results(spark, d, k=12) == masked, \
+        "deleted docs must stay masked after a mid-compact crash"
+
+    # crash window 2 on the SAME index: a staged slice orphaned
+    # between rmtree(live) and rename(tmp, live) — manufacture the
+    # state for one (gen, pid) holding a tombstoned doc
+    with open(f"{d}/staged.json") as fh:
+        smeta = json.load(fh)
+    with open(f"{d}/tombstones/doc_ints.json") as fh:
+        tomb = json.load(fh)
+    g = smeta["gens"][0]
+    offs = sorted((int(v), int(k)) for k, v in g["offsets"].items())
+    starts = [v for v, _ in offs]
+    dint = int(tomb[0])
+    pid = offs[bisect.bisect_right(starts, dint) - 1][1]
+    src = f"{d}/staged/gen=0/pid={pid}"
+    tmp = f"{d}/staged_tmp/gen=0/pid={pid}"
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    os.rename(src, tmp)
+    assert not os.path.exists(src)
+
+    # re-running compact rolls the slice forward, rebuilds, finalizes,
+    # and only then clears the tombstones; results match the clean run
+    compact_index(spark, d)
+    assert not os.path.exists(f"{d}/tombstones/doc_ints.json")
+    assert not os.path.exists(f"{d}/staged_tmp")
+    assert _results(spark, d, k=12) == expected
+    meta = load_meta(d)
+    assert meta["n_docs"] == docs.count() - len(victims)
+    # idempotent once clean
+    compact_index(spark, d)
+    assert _results(spark, d, k=12) == expected
+
+
 def test_append_tiebreak_on_original_key(spark, tmp_path):
     """Appended docs get HIGHER doc_ints even when their keys sort
     before existing ones; exact score-ties at the k boundary must still
