@@ -225,3 +225,54 @@ def test_gather_paths_identical(spark, corpus, index_dir, monkeypatch):
     rkey = lambda t: (t[0], t[1], round(t[2], 12))
     assert sorted(map(rkey, fast_rows)) == sorted(map(key, fast))
     assert sorted(map(rkey, slow_rows)) == sorted(map(rkey, fast_rows))
+
+
+def test_part_pruning_equivalence(spark, corpus, tmp_path, monkeypatch):
+    """Part pruning is a pure optimization: on a genuinely multi-part
+    index, every query shape (rare-only — where pruning engages,
+    mixed, hot-only, conjunctive, BMW scorer) returns results
+    identical to the legacy scan-everything path (the plan gate
+    test_search_prunes_parts_by_term pins the plan; this pins the
+    RESULTS at realistic corpus shape)."""
+    from oboyu_spark.operators import searchidx as SI
+
+    rare = spark.createDataFrame(
+        [(f"rare#{i:02d}",
+          f"zz{'abcdef'[i % 6]} spark index search engine")
+         for i in range(24)],
+        "doc_id string, text string",
+    )
+    docs = corpus.unionByName(rare)
+    d = str(tmp_path / "multi")
+    meta = build_index(docs, d, shard_size=100, salt_chunk=50,
+                       shards_per_part=2, id_assign_partitions=4)
+    assert meta["n_parts"] >= 3, "need a multi-part index for this pin"
+
+    queries = [
+        "zzabc zzb",            # rare-only (terms min_token_length>=2)
+        "zza zzc",              # rare-only pair
+        "zza spark index",      # mixed rare + hot
+        "spark index search",   # hot-only
+        "missing_term_xyz",     # no match
+    ]
+
+    def run(**kw):
+        out = []
+        for q in queries:
+            rows = search_index(spark, d, q, k=12, **kw).collect()
+            out.append((q, tuple(kw.items()), sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 12))
+                for r in rows)))
+        return out
+
+    pruned = run() + run(scorer="bmw") + run(mode="and")
+    # the rare-only query really pruned: strict subset of parts
+    search_index(spark, d, "zza zzb", k=5).collect()
+    live = SI._LAST_SCAN_INFO["live_parts"]
+    assert live is not None and 0 < len(live) < meta["n_parts"], \
+        SI._LAST_SCAN_INFO
+
+    monkeypatch.setattr(SI, "PART_PRUNE_MAX_UNION", -1)  # legacy scan
+    legacy = run() + run(scorer="bmw") + run(mode="and")
+    assert SI._LAST_SCAN_INFO["live_parts"] is None
+    assert pruned == legacy
