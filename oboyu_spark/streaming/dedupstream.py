@@ -141,25 +141,27 @@ def _near_dedup_handler(base, index_dir: str, minhash_dir: str,
             .collect()
         )
         if drop_ids:
-            if len(drop_ids) <= NEAR_DROP_ISIN_MAX:
+            small = len(drop_ids) <= NEAR_DROP_ISIN_MAX
+            drop_f = None if small else spark.createDataFrame(
+                [(d,) for d in drop_ids],
+                batch_df.select("doc_id").schema,
+            )
+            if small:
                 batch_df = batch_df.filter(
                     ~F.col("doc_id").isin(drop_ids)
                 )
             else:
-                drop_f = spark.createDataFrame(
-                    [(d,) for d in drop_ids],
-                    batch_df.select("doc_id").schema,
-                )
                 batch_df = batch_df.join(drop_f, "doc_id", "left_anti")
-            # retroactive branch: ids already in the live index
+            # retroactive branch: ids already in the live index (the
+            # docmap lookup respects the same isin/join cutover as the
+            # batch filter — a 10^5-literal In over the docmap scan is
+            # the same driver-plan bloat either way)
             if os.path.isdir(f"{index_dir}/docmap"):
                 tomb = {int(t) for t in load_tombstones(index_dir)}
-                hit = (
-                    spark.read.parquet(f"{index_dir}/docmap")
-                    .filter(F.col("doc_id").isin(drop_ids))
-                    .select("doc_id", "doc_int")
-                    .collect()
-                )
+                dm = spark.read.parquet(f"{index_dir}/docmap")
+                dm = (dm.filter(F.col("doc_id").isin(drop_ids)) if small
+                      else dm.join(drop_f, "doc_id", "left_semi"))
+                hit = dm.select("doc_id", "doc_int").collect()
                 indexed = sorted(
                     {r["doc_id"] for r in hit
                      if int(r["doc_int"]) not in tomb}
