@@ -146,6 +146,80 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals — the Gopher/RefinedWeb-style
+    repetition filters a training-data pipeline runs alongside the
+    quality score (machine-generated boilerplate and templated spam
+    repeat lines and n-grams far above natural prose):
+
+    - ``n_lines``            non-empty trimmed lines
+    - ``dup_line_frac``      fraction of lines that are repeats of an
+                             already-seen line
+    - ``dup_line_char_frac`` fraction of line characters inside those
+                             repeat occurrences (first occurrence is
+                             not a dup; Gopher's "chars in duplicated
+                             lines")
+    - ``top_bigram_frac``    fraction of word-bigram slots occupied by
+                             the single most frequent bigram (word =
+                             whitespace token, same split class as
+                             ``word_count``)
+
+    Pure column expressions (array ops, no shuffle, no UDF) with an
+    exact DuckDB twin pinned by tests/test_textstats.py. The top-bigram
+    mode runs O(d·b) per doc over DISTINCT bigrams d × bigrams b —
+    per-row work, bounded by doc length, embarrassingly parallel.
+    """
+    from ..functions.text import _WS_CLASS_JAVA
+
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\\r?\\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda acc, l: acc + F.length(l))
+    dist_chars = F.aggregate(dlines, F.lit(0),
+                             lambda acc, l: acc + F.length(l))
+    words = F.filter(F.split(c, _WS_CLASS_JAVA + "+"),
+                     lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    # F.sequence(1, 0) DESCENDS instead of returning empty — the upper
+    # bound must be guarded (repo-wide rule)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat(F.element_at(words, i), F.lit(" "),
+                               F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("int").alias("n_lines"),
+        F.round(
+            F.when(n_lines == 0, 0.0)
+            .otherwise((n_lines - F.size(dlines)) / n_lines), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(line_chars == 0, 0.0)
+            .otherwise((line_chars - dist_chars) / line_chars), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.when(n_bg <= 0, 0.0).otherwise(top_bg / n_bg), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def unigram_logprob_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -137,6 +137,23 @@ def test_quality_filter_is_scan_fused_predicate(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_repetition_stats_is_scan_fused(spark, tmp_path):
+    """repetition_stats is the same shape as quality_score: pure array
+    column expressions — no Exchange, no python UDF; one scan covers
+    the whole repetition profile at any corpus size."""
+    from oboyu_spark.operators.textstats import repetition_stats
+
+    p = str(tmp_path / "rdocs")
+    spark.createDataFrame(
+        [(i, "some line\nsome line\nother text here " * 3)
+         for i in range(20)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    plan = _plan(repetition_stats(spark.read.parquet(p)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_prepare_corpus_no_cartesian_no_forced_broadcast(spark, corpus):
     """The composed pipeline plan: no CartesianProduct anywhere, and
     the near-dup drop anti-join is NOT a forced broadcast (at web

@@ -124,3 +124,101 @@ def test_discover_stopwords_feeds_tokenizer(spark):
     tf = term_frequencies(docs, stop_words=found)
     terms = {r["term"] for r in tf.collect()}
     assert terms.isdisjoint(found) and len(terms) == 10
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition lens: hand-computed pins on planted
+    repetition plus an exact DuckDB twin over a mixed corpus
+    (including sf0.01 documents) — the same rigor as the driver gate,
+    enforced locally since the 50-entry registry is full."""
+    import duckdb
+
+    from oboyu_spark.operators.textstats import repetition_stats
+    from oboyu_spark.plans.oracle_sql import WS_RE2
+
+    rows = [
+        (1, "alpha beta\nalpha beta\ngamma delta"),       # 1 dup line of 3
+        (2, "no repeats here\nat all today"),
+        (3, "spam spam spam spam spam"),                  # one bigram rules
+        (4, ""),
+        (5, "single"),
+        (6, "a b\r\na b\r\n\r\n  \r\nc d"),               # CRLF + blank lines
+        (7, "x y x y x y z w"),                           # top bigram "x y" x3... and "y x" x2
+        (8, "line one\nline one\nline one\nline two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_frac"] == round(1 / 3, 6)
+    # "alpha beta" = 10 chars x2, "gamma delta" = 11 -> dup 10 of 31
+    assert got[1]["dup_line_char_frac"] == round(10 / 31, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    # doc 3: bigrams = 4x "spam spam" -> top fraction 1.0
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[4] == (4, 0, 0.0, 0.0, 0.0) or got[4]["n_lines"] == 0
+    assert got[5]["n_lines"] == 1 and got[5]["top_bigram_frac"] == 0.0
+    assert got[6]["n_lines"] == 3  # blank/whitespace-only lines dropped
+    assert got[6]["dup_line_frac"] == round(1 / 3, 6)
+    # doc 7: 7 bigram slots, "x y" appears 3 times
+    assert got[7]["top_bigram_frac"] == round(3 / 7, 6)
+    assert got[8]["dup_line_frac"] == round(2 / 4, 6)
+
+    # exact DuckDB twin over planted rows + real sf0.01 documents
+    sf_docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        # shift ids out of the planted 1-8 range — a doc_id collision
+        # makes the sorted row-by-row comparison order-ambiguous
+        .select((F.col("doc_id").cast("long") + 1_000_000).alias("doc_id"),
+                "text")
+        .limit(300)
+    )
+    both = docs.unionByName(sf_docs)
+    spark_pdf = (
+        repetition_stats(both).toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_in", both.toPandas())
+    twin = f"""
+    WITH L AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
+                                        x -> trim(x)),
+                         x -> length(x) > 0) AS lines,
+             list_filter(string_split_regex(text, '{WS_RE2}+'),
+                         x -> length(x) > 0) AS w
+      FROM docs_in
+    ), M AS (
+      SELECT doc_id, lines, w,
+             len(lines) AS n_lines,
+             len(list_distinct(lines)) AS n_dl,
+             coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+             coalesce(list_sum(list_transform(list_distinct(lines),
+                                              x -> length(x))), 0) AS dc,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM L
+    )
+    SELECT doc_id,
+           CAST(n_lines AS INT) AS n_lines,
+           round(CASE WHEN n_lines = 0 THEN 0.0
+                 ELSE (n_lines - n_dl) / CAST(n_lines AS DOUBLE) END, 6)
+             AS dup_line_frac,
+           round(CASE WHEN lc = 0 THEN 0.0
+                 ELSE (lc - dc) / CAST(lc AS DOUBLE) END, 6)
+             AS dup_line_char_frac,
+           round(CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x))))
+                      / CAST(len(bg) AS DOUBLE) END, 6)
+             AS top_bigram_frac
+    FROM M ORDER BY doc_id
+    """
+    duck_pdf = con.sql(twin).df()
+    assert len(spark_pdf) == len(duck_pdf)
+    for col in ["n_lines", "dup_line_frac", "dup_line_char_frac",
+                "top_bigram_frac"]:
+        assert list(spark_pdf[col]) == list(duck_pdf[col]), col
