@@ -127,6 +127,8 @@ def prepare_corpus(
     near_winnow_max_fp_df: Optional[int] = 1000,
     near_simhash_max_hamming: int = 6,
     min_quality: Optional[float] = None,
+    max_dup_line_frac: Optional[float] = None,
+    max_top_bigram_frac: Optional[float] = None,
     langs: "Optional[tuple[str, ...]]" = None,
     chunk_size: Optional[int] = 1024,
     chunk_overlap: int = 256,
@@ -169,6 +171,21 @@ def prepare_corpus(
         out = out.join(drop, id_col, "left_anti")
     if min_quality is not None:
         out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        # repetition gate (Gopher/RefinedWeb-style): like the quality
+        # gate, stateless column predicates fused into the scan — drop
+        # templated/boilerplate docs whose lines or bigrams repeat
+        # beyond the thresholds
+        from .textstats import dup_line_frac, top_bigram_frac
+
+        if max_dup_line_frac is not None:
+            out = out.filter(
+                dup_line_frac(F.col(text_col)) <= max_dup_line_frac
+            )
+        if max_top_bigram_frac is not None:
+            out = out.filter(
+                top_bigram_frac(F.col(text_col)) <= max_top_bigram_frac
+            )
     if langs is not None:
         # language gate (textstats.language_id heuristic): like the
         # quality gate, a stateless column predicate Catalyst fuses

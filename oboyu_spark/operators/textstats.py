@@ -170,20 +170,51 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     mode runs O(d·b) per doc over DISTINCT bigrams d × bigrams b —
     per-row work, bounded by doc length, embarrassingly parallel.
     """
-    from ..functions.text import _WS_CLASS_JAVA
-
     c = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(c, "\\r?\\n"), lambda l: F.trim(l)),
+    lines = _trimmed_lines(c)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.round(dup_line_frac(c), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac(c), 6).alias("dup_line_char_frac"),
+        F.round(top_bigram_frac(c), 6).alias("top_bigram_frac"),
+    )
+
+
+def _trimmed_lines(col: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(col, "\\r?\\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
-    dlines = F.array_distinct(lines)
-    n_lines = F.size(lines)
-    line_chars = F.aggregate(lines, F.lit(0),
-                             lambda acc, l: acc + F.length(l))
-    dist_chars = F.aggregate(dlines, F.lit(0),
-                             lambda acc, l: acc + F.length(l))
-    words = F.filter(F.split(c, _WS_CLASS_JAVA + "+"),
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of non-empty trimmed lines that repeat an
+    already-seen line."""
+    lines = _trimmed_lines(col)
+    n = F.size(lines)
+    return F.when(n == 0, 0.0).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n
+    )
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Fraction of line characters inside repeat line occurrences
+    (first occurrence is not a dup)."""
+    lines = _trimmed_lines(col)
+    total = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dist = F.aggregate(F.array_distinct(lines), F.lit(0),
+                       lambda acc, l: acc + F.length(l))
+    return F.when(total == 0, 0.0).otherwise((total - dist) / total)
+
+
+def top_bigram_frac(col: Column) -> Column:
+    """Fraction of word-bigram slots held by the single most frequent
+    bigram (word = whitespace token, same split class as
+    ``word_count``)."""
+    from ..functions.text import _WS_CLASS_JAVA
+
+    words = F.filter(F.split(col, _WS_CLASS_JAVA + "+"),
                      lambda w: F.length(w) > 0)
     n_words = F.size(words)
     # F.sequence(1, 0) DESCENDS instead of returning empty — the upper
@@ -203,21 +234,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
         )
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_lines.cast("int").alias("n_lines"),
-        F.round(
-            F.when(n_lines == 0, 0.0)
-            .otherwise((n_lines - F.size(dlines)) / n_lines), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            F.when(line_chars == 0, 0.0)
-            .otherwise((line_chars - dist_chars) / line_chars), 6
-        ).alias("dup_line_char_frac"),
-        F.round(
-            F.when(n_bg <= 0, 0.0).otherwise(top_bg / n_bg), 6
-        ).alias("top_bigram_frac"),
-    )
+    return F.when(n_bg <= 0, 0.0).otherwise(top_bg / n_bg)
 
 
 def unigram_logprob_scores(

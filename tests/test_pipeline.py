@@ -229,3 +229,42 @@ def test_language_filter_stage(spark):
         docs, exact=True, near_threshold=None, min_quality=None,
         langs=("en", "ja"), chunk_size=None)["docs"].collect()}
     assert en == {1} and ja == {2} and both == {1, 2}
+
+
+def test_repetition_gate_stage(spark):
+    """max_dup_line_frac / max_top_bigram_frac drop templated and
+    boilerplate docs; thresholds compose with the other gates and stay
+    scan-fused predicates. Values match repetition_stats exactly (the
+    gate reuses the same expressions)."""
+    from oboyu_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a normal document\nwith varied lines\nand no repeats"),
+        (2, "click here now\nclick here now\nclick here now\nbuy"),
+        (3, "spam spam spam spam spam spam spam spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(exact=False, near_threshold=None, min_quality=None,
+              chunk_size=None)
+
+    kept = {r["doc_id"] for r in prepare_corpus(
+        docs, max_dup_line_frac=0.4, **kw)["docs"].collect()}
+    assert kept == {1, 3}  # doc 2: 2 of 4 lines are repeats (0.5)
+
+    kept = {r["doc_id"] for r in prepare_corpus(
+        docs, max_top_bigram_frac=0.9, **kw)["docs"].collect()}
+    assert kept == {1, 2}  # doc 3: one bigram fills every slot (1.0)
+
+    kept = {r["doc_id"] for r in prepare_corpus(
+        docs, max_dup_line_frac=0.4, max_top_bigram_frac=0.9,
+        **kw)["docs"].collect()}
+    assert kept == {1}
+
+    # gate thresholds agree with the profiling operator's numbers
+    prof = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert prof[2]["dup_line_frac"] == 0.5
+    assert prof[3]["top_bigram_frac"] == 1.0
+
+    # defaults leave the corpus untouched
+    kept = {r["doc_id"] for r in prepare_corpus(docs, **kw)["docs"].collect()}
+    assert kept == {1, 2, 3}
