@@ -6,7 +6,8 @@
         [--no-exact] [--near-threshold 0.5 | --no-near] \
         [--near-method minhash|winnow|simhash] \
         [--near-policy greedy|components] \
-        [--min-quality 0.3] [--langs en,ja] \
+        [--min-quality 0.3] [--max-dup-line-frac 0.3] \
+        [--max-top-bigram-frac 0.2] [--langs en,ja] \
         [--chunk-size 1024] [--chunk-overlap 256] \
         [--embed-dim 64] [--pack-budget 2048]
 
@@ -46,6 +47,13 @@ def main() -> None:
     ap.add_argument("--near-policy", default="greedy",
                     choices=["greedy", "components"])
     ap.add_argument("--min-quality", type=float)
+    ap.add_argument("--max-dup-line-frac", type=float,
+                    help="repetition gate: drop docs whose duplicate-"
+                         "line fraction exceeds this")
+    ap.add_argument("--max-top-bigram-frac", type=float,
+                    help="repetition gate: drop docs whose most "
+                         "frequent word-bigram holds more than this "
+                         "fraction of bigram slots")
     ap.add_argument("--langs",
                     help="comma-separated language_id values to keep")
     ap.add_argument("--sample-fraction", type=float,
@@ -91,6 +99,8 @@ def main() -> None:
         near_method=args.near_method,
         near_policy=args.near_policy,
         min_quality=args.min_quality,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         chunk_size=None,
         embed_dim=None,

@@ -86,6 +86,30 @@ def dedup_stream(
 NEAR_DROP_ISIN_MAX = 10_000
 
 
+def _curation_gates(stream: DataFrame, min_quality: float | None,
+                    max_dup_line_frac: float | None,
+                    max_top_bigram_frac: float | None) -> DataFrame:
+    """The stateless curation predicates (quality + repetition), fused
+    into the stream's scan BEFORE the stateful dedup — junk never
+    enters (or evicts useful entries from) the fingerprint state. Same
+    expressions as the batch pipeline's gates."""
+    from ..operators.textstats import (
+        dup_line_frac, quality_score, top_bigram_frac,
+    )
+
+    if min_quality is not None:
+        stream = stream.filter(quality_score(F.col("text")) >= min_quality)
+    if max_dup_line_frac is not None:
+        stream = stream.filter(
+            dup_line_frac(F.col("text")) <= max_dup_line_frac
+        )
+    if max_top_bigram_frac is not None:
+        stream = stream.filter(
+            top_bigram_frac(F.col("text")) <= max_top_bigram_frac
+        )
+    return stream
+
+
 def _near_dedup_handler(base, index_dir: str, minhash_dir: str,
                         threshold: float, num_perm: int, bands: int):
     """Wrap the ingest handler with a streaming NEAR-dedup stage
@@ -179,6 +203,8 @@ def curate_and_index_stream(
     index_dir: str,
     checkpoint_dir: str,
     min_quality: float | None = 0.3,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     watermark: str | None = None,
     schema: str = DOC_SCHEMA,
     trigger_once: bool = True,
@@ -207,8 +233,6 @@ def curate_and_index_stream(
     sets diverge only when a sub-quality doc near-pairs a surviving
     one (same deliberate divergence as the exact stage, documented on
     ``prepare_stream``)."""
-    from ..operators.textstats import quality_score
-
     from .ingest import handle_batch_factory
 
     if (near_threshold is None) != (minhash_dir is None):
@@ -216,8 +240,8 @@ def curate_and_index_stream(
             "near_threshold and minhash_dir must be set together"
         )
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    if min_quality is not None:
-        stream = stream.filter(quality_score(F.col("text")) >= min_quality)
+    stream = _curation_gates(stream, min_quality, max_dup_line_frac,
+                             max_top_bigram_frac)
     survivors = dedup_stream_frame(stream, watermark=watermark) \
         .select("doc_id", "text")
     handler = handle_batch_factory(index_dir)
@@ -239,18 +263,20 @@ def prepare_stream(
     output_dir: str,
     checkpoint_dir: str,
     min_quality: float | None = 0.3,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     watermark: str | None = None,
     schema: str = DOC_SCHEMA,
     trigger_once: bool = True,
 ):
     """Curate-on-arrival: streaming exact dedup composed with the
-    quality gate in ONE streaming plan (the quality predicate is a
-    stateless column expression, so it fuses into the scan before the
-    stateful dedup — junk never enters the fingerprint state), writing
-    curated documents to parquet. The streaming face of
-    pipeline.prepare_corpus's exact+quality stages; near-dedup stays a
-    batch pass over the curated output (pair joins need corpus-wide
-    candidate generation).
+    quality + repetition gates in ONE streaming plan (the predicates
+    are stateless column expressions, so they fuse into the scan before
+    the stateful dedup — junk never enters the fingerprint state),
+    writing curated documents to parquet. The streaming face of
+    pipeline.prepare_corpus's exact+quality+repetition stages;
+    near-dedup stays a batch pass over the curated output (pair joins
+    need corpus-wide candidate generation).
 
     ORDERING DIVERGENCE vs the batch pipeline (ADVICE r4, deliberate):
     the stream filters quality BEFORE the stateful dedup (junk must not
@@ -262,11 +288,9 @@ def prepare_stream(
     first: the stream keeps the later good copy, the batch pipeline
     drops both. On corpora without cross-quality fingerprint
     collisions the two are identical (the parity the tests pin)."""
-    from ..operators.textstats import quality_score
-
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    if min_quality is not None:
-        stream = stream.filter(quality_score(F.col("text")) >= min_quality)
+    stream = _curation_gates(stream, min_quality, max_dup_line_frac,
+                             max_top_bigram_frac)
     out = dedup_stream_frame(stream, watermark=watermark)
     writer = (
         out.writeStream.outputMode("append")

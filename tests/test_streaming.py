@@ -731,3 +731,38 @@ def test_curate_and_index_stream_end_to_end(spark, tmp_path):
         exp = search_index(spark, bidx, query, k=10).collect()
         assert [(r["doc_id"], r["score"]) for r in got] == \
             [(r["doc_id"], r["score"]) for r in exp], query
+
+
+def test_prepare_stream_repetition_gates(spark, tmp_path):
+    """The repetition gates (max_dup_line_frac / max_top_bigram_frac)
+    run in the stream's stateless predicate block — boilerplate is
+    dropped on arrival, survivors match the batch pipeline under the
+    same thresholds."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.streaming.dedupstream import prepare_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    rows = [
+        ("good", "varied first line\nsecond line differs\nthird too",
+         "2025-01-01 10:00:00"),
+        ("boiler", "subscribe now\nsubscribe now\nsubscribe now\nbuy",
+         "2025-01-01 10:01:00"),
+        ("spammy", "click here click here click here click here",
+         "2025-01-01 10:02:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, ts string"
+    ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+    df.write.mode("append").parquet(inp)
+    kw = dict(min_quality=None, max_dup_line_frac=0.4,
+              max_top_bigram_frac=0.5)
+    q = prepare_stream(spark, inp, outp, chk, **kw)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert got == {"good"}
+    batch = prepare_corpus(
+        df.select("doc_id", "text"), exact=True, near_threshold=None,
+        chunk_size=None, **kw)["docs"]
+    assert {r["doc_id"] for r in batch.collect()} == got
