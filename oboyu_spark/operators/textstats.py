@@ -217,23 +217,42 @@ def top_bigram_frac(col: Column) -> Column:
     words = F.filter(F.split(col, _WS_CLASS_JAVA + "+"),
                      lambda w: F.length(w) > 0)
     n_words = F.size(words)
-    # F.sequence(1, 0) DESCENDS instead of returning empty — the upper
-    # bound must be guarded (repo-wide rule)
+    # adjacent pairs via zip_with over two slices — NOT
+    # transform(sequence(...), i -> element_at(words, i)): an
+    # element_at inside a lambda re-evaluates the whole filter(split())
+    # expression per element (no CSE inside HOF lambdas), turning a
+    # 100k-word doc into an O(n²) row. zip_with touches each array
+    # expression once per row.
     bigrams = F.when(
         n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_words - 1),
-            lambda i: F.concat(F.element_at(words, i), F.lit(" "),
-                               F.element_at(words, i + 1)),
+        F.zip_with(
+            F.slice(words, 1, n_words - 1),
+            F.slice(words, 2, n_words - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     n_bg = F.size(bigrams)
-    top_bg = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
-        )
-    )
+    # mode count via sort + linear run scan — O(n log n) per doc. The
+    # obvious distinct×filter count is O(distinct·n), quadratic on a
+    # million-token document: exactly the doc shape a 100 TB corpus is
+    # guaranteed to contain.
+    sorted_bg = F.array_sort(bigrams)
+    top_bg = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best,
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    ).best
     return F.when(n_bg <= 0, 0.0).otherwise(top_bg / n_bg)
 
 
