@@ -59,16 +59,26 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 
 def shingles_expr(col: Column, n: int = 3,
                   min_token_length: int = 2) -> Column:
-    """Distinct word n-gram shingles of the token stream."""
+    """Distinct word n-gram shingles of the token stream.
+
+    Built as n-fold ``zip_with`` over n shifted slices — NOT
+    ``transform(sequence(...), i -> slice(toks, i, n))``: an outer
+    array expression captured inside a HOF lambda is RE-EVALUATED per
+    element (no CSE inside lambdas), so the old shape re-tokenized the
+    document once per shingle — O(tokens²), 244 s for ONE 30k-token
+    doc. The slices evaluate the tokenizer n+1 times per row (linear);
+    shingle strings are byte-identical ("a b c" either way)."""
     toks = tokens_expr(col, min_token_length)
-    # NB: F.sequence(1, 0) DESCENDS — guard docs with < n tokens
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n_sh = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, n_sh) for i in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.zip_with(joined, p,
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    # NB: F.sequence(1, 0) DESCENDS — the < n tokens guard also keeps
+    # the slice length positive
+    grams = F.when(F.size(toks) >= n, joined) \
+        .otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
