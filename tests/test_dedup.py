@@ -517,3 +517,22 @@ def test_minhash_index_job_lifecycle(spark, tmp_path, monkeypatch, capsys):
     J.main()
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert comp["n_docs"] == 3 and comp["batches"] == [0]
+
+
+def test_shingles_long_doc_smoke(spark):
+    """A 30k-token document shingles in ~1 s with the zip_with
+    construction; the old transform+slice shape re-tokenized per
+    shingle (O(tokens²), 244 s for this same doc) — a revert shows up
+    as a visible stall right here. Values pinned."""
+    from pyspark.sql import functions as F
+
+    doc = " ".join(f"word{i % 3000}" for i in range(30_000))
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    sh = docs.select(
+        F.size(D.shingles_expr(F.col("text"), 3, 2)).alias("n"),
+        F.array_contains(
+            D.shingles_expr(F.col("text"), 3, 2), "word0 word1 word2"
+        ).alias("has_first"),
+    ).collect()[0]
+    # 3000-token period -> every trigram repeats; distinct = 3000
+    assert sh["n"] == 3000 and sh["has_first"]
