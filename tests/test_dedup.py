@@ -536,3 +536,31 @@ def test_shingles_long_doc_smoke(spark):
     ).collect()[0]
     # 3000-token period -> every trigram repeats; distinct = 3000
     assert sh["n"] == 3000 and sh["has_first"]
+
+
+def test_shingles_randomized_python_parity(spark):
+    """The zip_with shingle construction equals the python twin
+    (py_tokenize n-grams) over 200 seeded-random docs spanning the edge
+    shapes: empty, < n tokens, exactly n tokens, unicode/JP text, long
+    runs, varied n."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["spark", "索引", "index", "ほげ", "a1", "xx", "データ",
+             "merge", "shuffle", "圧縮", "b2c3", "ワード"]
+    docs = []
+    for i in range(200):
+        k = rng.choice([0, 1, 2, 3, 4, 5, 8, 20, 100])
+        words = [rng.choice(vocab) for _ in range(k)]
+        sep = rng.choice([" ", "  ", "\t", "\n", "、", " 　"])
+        docs.append((i, sep.join(words)))
+    for n in (2, 3, 5):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: set(r["sh"])
+            for r in df.select(
+                "doc_id", D.shingles_expr(F.col("text"), n).alias("sh")
+            ).collect()
+        }
+        for i, text in docs:
+            assert got[i] == _shingles(text, n), (n, i, text)
