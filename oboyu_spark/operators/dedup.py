@@ -357,6 +357,138 @@ def winnow_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): remove repeated n-token spans
+# CORPUS-WIDE, keeping the globally-first occurrence. Complements the
+# document-level lenses — boilerplate paragraphs shared by otherwise-
+# distinct documents never form doc-level near-pairs, but they are
+# exactly what span dedup removes.
+# ---------------------------------------------------------------------------
+
+def _let(val: Column, body) -> Column:
+    """Bind ``val`` to a lambda variable and evaluate ``body`` on it —
+    a poor man's let-expression. Lambda variables are evaluated ONCE,
+    so HOF bodies can reference the bound value per-element without
+    the capture-re-evaluation trap (see shingles_expr), and no
+    optimizer projection-collapse can inline the computation back into
+    the loop."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def span_hashes_expr(col: Column, n: int, min_token_length: int = 2,
+                     max_tokens: int | None = None) -> Column:
+    """array<long>: xxhash64 of each n-token span (space-joined), one
+    per token position; empty for docs with < n tokens. O(n·len) per
+    doc (each span materializes its n tokens once — linear in doc
+    length for fixed n)."""
+    toks = tokens_expr(col, min_token_length)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+
+    def hashes(tk):
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return _let(toks, hashes)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_length: int = 2,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos, span_hash, rank, n_occ) — every occurrence of a
+    token n-gram appearing ≥ 2 times in the corpus. ``pos`` is the
+    0-based token position of the span start; ``rank`` orders the
+    occurrences of one span by global first-ness ((doc_id, pos)
+    ascending) — rank 1 is the occurrence ``drop_duplicated_spans``
+    keeps.
+
+    Scale shape: one explode (len − n + 1 rows per doc, ``max_tokens``
+    bounds it) and ONE shuffle keyed on the 64-bit span hash; skew-safe
+    (a boilerplate span repeated 10⁶ times is 10⁶ rows under one key —
+    cap upstream via max_tokens or pre-filter if a corpus is
+    pathological). Spans are matched by xxhash64 — a 64-bit collision
+    marking a false duplicate is ~n_spans²/2⁶⁵ and affects single
+    spans, not documents."""
+    from pyspark.sql import Window as W
+
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            span_hashes_expr(F.col(text_col), n, min_token_length,
+                             max_tokens)
+        ).alias("pos", "span_hash"),
+    )
+    w = W.partitionBy("span_hash").orderBy("doc_id", "pos")
+    cw = W.partitionBy("span_hash")
+    return (
+        spans.select(
+            "doc_id", "pos", "span_hash",
+            F.row_number().over(w).alias("rank"),
+            F.count(F.lit(1)).over(cw).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+def drop_duplicated_spans(
+    docs: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_length: int = 2,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """(doc_id, text, n_tokens_removed) with every NON-FIRST occurrence
+    of a corpus-duplicated n-token span removed: a token is dropped iff
+    some rank ≥ 2 duplicate span covers it (overlapping removals union
+    at token level; the rank-1 occurrence always survives in full
+    unless a DIFFERENT span's duplicate overlaps it).
+
+    The output text is rebuilt from the surviving TOKEN stream
+    (space-joined, tokenizer-normalized — lowercased, punctuation
+    stripped), the same token-stream semantics Lee et al. operate on;
+    downstream consumers are training pipelines that tokenize anyway.
+    Docs with no duplicated spans pass through with their token stream
+    intact (n_tokens_removed = 0)."""
+    removals = (
+        duplicated_spans(docs, n, id_col, text_col, min_token_length,
+                         max_tokens)
+        .filter(F.col("rank") >= 2)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_expr(F.col(text_col), min_token_length).alias("toks"),
+    )
+    joined = toked.join(removals, "doc_id", "left").select(
+        "doc_id", "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("starts"), lambda s: (i >= s) & (i < s + F.lit(n))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text"),
+        (F.size("toks") - F.size(kept)).alias("n_tokens_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

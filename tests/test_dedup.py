@@ -564,3 +564,69 @@ def test_shingles_randomized_python_parity(spark):
         }
         for i, text in docs:
             assert got[i] == _shingles(text, n), (n, i, text)
+
+
+def _py_drop_spans(rows, n):
+    """Brute-force twin of drop_duplicated_spans over py_tokenize."""
+    toks = {d: py_tokenize(t) for d, t in rows}
+    occ: dict = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - n + 1):
+            occ.setdefault(tuple(tk[p:p + n]), []).append((d, p))
+    removed = {d: set() for d, _ in rows}
+    for occs in occ.values():
+        if len(occs) < 2:
+            continue
+        for d, p in sorted(occs)[1:]:
+            removed[d].update(range(p, p + n))
+    return {
+        d: (" ".join(t for i, t in enumerate(tk) if i not in removed[d]),
+            len(removed[d]))
+        for d, tk in toks.items()
+    }
+
+
+def test_drop_duplicated_spans(spark):
+    """Lee-et-al exact span dedup: the globally-first occurrence of a
+    repeated n-token span survives, every later occurrence's tokens are
+    removed (cross-doc AND within-doc), untouched docs keep their full
+    token stream. Hand pins + a seeded-random python-twin sweep."""
+    shared = " ".join(f"boiler{i}" for i in range(12))
+    rows = [
+        ("a", "alpha unique one " + shared + " tail aaa bbb"),
+        ("b", "beta other words " + shared + " different end here"),
+        ("c", "no shared content at all in this document body"),
+        ("d", shared + " " + shared),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in D.drop_duplicated_spans(docs, n=10).collect()}
+    assert got["a"][1] == 0 and "boiler0" in got["a"][0]  # first kept
+    assert got["b"] == ("beta other words different end here", 12)
+    assert got["c"][1] == 0
+    assert got["d"] == ("", 24)  # both copies are non-first (a owns it)
+    # detection surface: rank-1 rows name doc a as the keeper
+    dup = D.duplicated_spans(docs, n=10)
+    keepers = {r.doc_id for r in dup.filter(F.col("rank") == 1).collect()}
+    assert keepers == {"a"}
+    # short docs (< n tokens) produce no spans and pass through
+    tiny = spark.createDataFrame([("t", "few words only")],
+                                 "doc_id string, text string")
+    t = D.drop_duplicated_spans(tiny, n=10).collect()[0]
+    assert t.text == "few words only" and t.n_tokens_removed == 0
+
+    # seeded-random sweep vs the python twin (natural repeats from a
+    # tiny vocabulary; n=3)
+    import random
+
+    rng = random.Random(99)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rrows = [(f"r{i:02d}", " ".join(rng.choice(vocab) for _ in
+                                    range(rng.randint(0, 40))))
+             for i in range(40)]
+    rdocs = spark.createDataFrame(rrows, "doc_id string, text string")
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in D.drop_duplicated_spans(rdocs, n=3).collect()}
+    exp = _py_drop_spans(rrows, 3)
+    assert got == exp
