@@ -3,6 +3,7 @@
     spark-submit --master local[32] oboyu_spark/jobs/prepare_corpus.py \
         --input /data/documents.parquet --output /data/prepared \
         [--sample-fraction 0.1 --sample-seed 42] \
+        [--drop-span-dups 50] \
         [--no-exact] [--near-threshold 0.5 | --no-near] \
         [--near-method minhash|winnow|simhash] \
         [--near-policy greedy|components] \
@@ -59,6 +60,11 @@ def main() -> None:
     ap.add_argument("--sample-fraction", type=float,
                     help="deterministic hash-gate pre-sample")
     ap.add_argument("--sample-seed", type=int, default=42)
+    ap.add_argument("--drop-span-dups", type=int, metavar="N",
+                    help="exact span dedup pre-stage (Lee et al.): "
+                         "remove every non-first occurrence of a "
+                         "corpus-repeated N-token span; output text is "
+                         "rebuilt from the surviving token stream")
     ap.add_argument("--pack-budget", type=int,
                     help="write a fixed-token-budget sequence "
                          "assignment (concat-and-split mode)")
@@ -90,6 +96,24 @@ def main() -> None:
                                     seed=args.sample_seed,
                                     id_col=args.id_col)
         report["sample_fraction"] = args.sample_fraction
+    if args.drop_span_dups:
+        from pyspark.sql import functions as F
+
+        from oboyu_spark.operators.dedup import drop_duplicated_spans
+
+        cleaned_spans = drop_duplicated_spans(
+            docs, n=args.drop_span_dups, id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        report["span_tokens_removed"] = int(
+            cleaned_spans.agg(
+                F.coalesce(F.sum("n_tokens_removed"), F.lit(0))
+            ).collect()[0][0]
+        )
+        docs = cleaned_spans.select(
+            F.col("doc_id").alias(args.id_col),
+            F.col("text").alias(args.text_col),
+        )
     # document stages only here — chunk/embed run below, each over the
     # previous stage's written parquet
     res = prepare_corpus(

@@ -137,6 +137,30 @@ def test_quality_filter_is_scan_fused_predicate(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_duplicated_spans_single_shuffle(spark, tmp_path):
+    """Span-dedup detection is one explode + ONE shuffle (the window
+    keyed on the 64-bit span hash) — no extra Exchange, no python UDF,
+    no cartesian anywhere in the plan."""
+    from oboyu_spark.operators.dedup import duplicated_spans
+
+    p = str(tmp_path / "sdocs")
+    spark.createDataFrame(
+        [(i, "shared words here " * 10 + f"tail {i}") for i in range(30)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    import re
+
+    plan = _plan(duplicated_spans(spark.read.parquet(p), n=5))
+    exchanges = [
+        blk for blk in re.split(r"\n\(\d+\) ", plan)
+        if blk.startswith("Exchange")
+    ]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(span_hash" in exchanges[0], exchanges[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_repetition_stats_is_scan_fused(spark, tmp_path):
     """repetition_stats is the same shape as quality_score: pure array
     column expressions — no Exchange, no python UDF; one scan covers
