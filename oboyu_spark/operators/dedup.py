@@ -460,25 +460,47 @@ def drop_duplicated_spans(
     downstream consumers are training pipelines that tokenize anyway.
     Docs with no duplicated spans pass through with their token stream
     intact (n_tokens_removed = 0)."""
-    removals = (
-        duplicated_spans(docs, n, id_col, text_col, min_token_length,
-                         max_tokens)
-        .filter(F.col("rank") >= 2)
+    from pyspark.sql import Window as W
+
+    # merge per-doc removal positions into coverage INTERVALS before
+    # the join back: a fully-duplicated 1M-token doc has ~10⁶ removal
+    # starts but ONE merged interval, so the per-token coverage check
+    # below stays O(runs), not O(removals) — the same
+    # quadratic-on-pathological-docs trap as raw starts would be
+    rem = duplicated_spans(docs, n, id_col, text_col, min_token_length,
+                           max_tokens).filter(F.col("rank") >= 2)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    runs = (
+        rem.select(
+            "doc_id", "pos",
+            F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1)
+            .otherwise(0).alias("new_run"),
+        )
+        .withColumn("run_id", F.sum("new_run").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ))
+        .groupBy("doc_id", "run_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
         .groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("starts"))
+        .agg(F.collect_list(F.struct("s", "e")).alias("runs"))
     )
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens_expr(F.col(text_col), min_token_length).alias("toks"),
     )
-    joined = toked.join(removals, "doc_id", "left").select(
+    joined = toked.join(runs, "doc_id", "left").select(
         "doc_id", "toks",
-        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+        F.coalesce(
+            "runs", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("runs"),
     )
     kept = F.filter(
         F.col("toks"),
         lambda x, i: ~F.exists(
-            F.col("starts"), lambda s: (i >= s) & (i < s + F.lit(n))
+            F.col("runs"), lambda r: (i >= r.s) & (i < r.e)
         ),
     )
     return joined.select(
