@@ -460,6 +460,24 @@ def drop_duplicated_spans(
     downstream consumers are training pipelines that tokenize anyway.
     Docs with no duplicated spans pass through with their token stream
     intact (n_tokens_removed = 0)."""
+    rem = duplicated_spans(docs, n, id_col, text_col, min_token_length,
+                           max_tokens).filter(F.col("rank") >= 2)
+    return _remove_span_occurrences(docs, rem, n, id_col, text_col,
+                                    min_token_length)
+
+
+def _remove_span_occurrences(
+    docs: DataFrame,
+    removals: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    min_token_length: int,
+) -> DataFrame:
+    """Shared rewrite stage: drop the tokens covered by ``removals``
+    ((doc_id, pos) span-start rows) and rebuild the token stream.
+    Used by ``drop_duplicated_spans`` (batch) and
+    ``span_filter_and_append`` (streaming)."""
     from pyspark.sql import Window as W
 
     # merge per-doc removal positions into coverage INTERVALS before
@@ -467,8 +485,7 @@ def drop_duplicated_spans(
     # starts but ONE merged interval, so the per-token coverage check
     # below stays O(runs), not O(removals) — the same
     # quadratic-on-pathological-docs trap as raw starts would be
-    rem = duplicated_spans(docs, n, id_col, text_col, min_token_length,
-                           max_tokens).filter(F.col("rank") >= 2)
+    rem = removals.select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(W.unboundedPreceding, -1)
@@ -508,6 +525,86 @@ def drop_duplicated_spans(
         F.concat_ws(" ", kept).alias("text"),
         (F.size("toks") - F.size(kept)).alias("n_tokens_removed"),
     )
+
+
+def _span_store_batches(span_dir: str, below: int | None = None) -> list[int]:
+    """Sorted COMMITTED batch ordinals under ``spans/batch=N`` (dirs
+    without ``_SUCCESS`` are crashed-append debris and are ignored);
+    ``below`` keeps only ordinals < that stream batch id."""
+    import os
+
+    if not os.path.isdir(span_dir):
+        return []
+    out = []
+    for name in os.listdir(span_dir):
+        if not name.startswith("batch="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if below is not None and b >= below:
+            continue
+        if os.path.exists(os.path.join(span_dir, name, "_SUCCESS")):
+            out.append(b)
+    return sorted(out)
+
+
+def span_filter_and_append(
+    batch: DataFrame,
+    span_dir: str,
+    n: int,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_length: int = 2,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Streaming face of :func:`drop_duplicated_spans`: remove from an
+    arriving micro-batch every occurrence of an n-token span already
+    seen by the stream, rank non-first WITHIN the batch by the batch
+    rule ((doc_id, pos) ascending), and append the batch's distinct
+    span hashes to the persisted store (``span_dir/batch=<id>``).
+
+    SEMANTICS DIVERGENCE vs the batch operator (deliberate, the
+    streaming-dedup standard): across micro-batches the FIRST-ARRIVED
+    occurrence survives, while ``drop_duplicated_spans`` keeps the
+    first by (doc_id, pos) — the survivor differs exactly when a
+    lower-id copy arrives later (token sets equal, owner differs).
+    When arrival order follows (doc_id, pos) order the two match
+    (pinned by test_streaming).
+
+    Replay-deterministic: the lookup reads ONLY committed store
+    batches with ordinal < ``batch_id``, so a replay after a crash
+    between the span append and the downstream index append sees the
+    exact pre-append store and recomputes the identical rewrite (its
+    own crashed half-append is either overwritten or ignored for want
+    of ``_SUCCESS``)."""
+    from pyspark.sql import Window as W
+
+    spark = batch.sparkSession
+    spans_b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            span_hashes_expr(F.col(text_col), n, min_token_length,
+                             max_tokens)
+        ).alias("pos", "span_hash"),
+    )
+    w = W.partitionBy("span_hash").orderBy("doc_id", "pos")
+    removals = spans_b.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") >= 2).select("doc_id", "pos")
+    prev = _span_store_batches(span_dir, below=int(batch_id))
+    if prev:
+        seen = (
+            spark.read.option("basePath", span_dir)
+            .parquet(*[f"{span_dir}/batch={b}" for b in prev])
+            .select("span_hash")
+        )
+        in_seen = spans_b.join(seen, "span_hash", "left_semi") \
+            .select("doc_id", "pos")
+        removals = removals.unionByName(in_seen).distinct()
+    cleaned = _remove_span_occurrences(batch, removals, n, id_col,
+                                       text_col, min_token_length)
+    spans_b.select("span_hash").distinct().write.mode("overwrite") \
+        .parquet(f"{span_dir}/batch={int(batch_id)}")
+    return cleaned
 
 
 # ---------------------------------------------------------------------------

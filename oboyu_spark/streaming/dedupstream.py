@@ -197,6 +197,36 @@ def _near_dedup_handler(base, index_dir: str, minhash_dir: str,
     return handler
 
 
+def _span_dedup_handler(base, index_dir: str, span_dir: str, n: int,
+                        min_token_length: int = 2):
+    """Wrap the ingest handler with the streaming exact-span-dedup
+    stage (``dedup.span_filter_and_append``): every micro-batch has
+    already-seen n-token spans removed (first-ARRIVED occurrence
+    survives; within one batch the batch rule (doc_id, pos) applies)
+    and its own span hashes appended to the persisted store. Runs on
+    the exact-dedup SURVIVORS (the doc-level drop is cheaper than
+    span-hashing a duplicate), so the indexed text is the
+    span-rewritten token stream. Replay-safe: a finalized batch
+    short-circuits; a crash between the span append and the index
+    append replays against the pre-append store view (the lookup reads
+    only committed batches with ordinal < batch_id)."""
+    from ..operators.dedup import span_filter_and_append
+    from .ingest import _done_batches
+
+    def handler(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if int(batch_id) in _done_batches(index_dir):
+            return  # replay of a fully-finalized batch
+        cleaned = span_filter_and_append(
+            batch_df, span_dir, n, int(batch_id),
+            min_token_length=min_token_length,
+        ).select("doc_id", "text")
+        base(cleaned, batch_id)
+
+    return handler
+
+
 def curate_and_index_stream(
     spark: SparkSession,
     input_dir: str,
@@ -212,6 +242,8 @@ def curate_and_index_stream(
     minhash_dir: str | None = None,
     num_perm: int = 16,
     bands: int = 8,
+    span_n: int | None = None,
+    span_dir: str | None = None,
 ):
     """ONE stream from raw documents to a live BM25 index: quality gate
     (stateless, fused before the state store) → stateful exact dedup →
@@ -239,6 +271,8 @@ def curate_and_index_stream(
         raise ValueError(
             "near_threshold and minhash_dir must be set together"
         )
+    if (span_n is None) != (span_dir is None):
+        raise ValueError("span_n and span_dir must be set together")
     stream = spark.readStream.schema(schema).parquet(input_dir)
     stream = _curation_gates(stream, min_quality, max_dup_line_frac,
                              max_top_bigram_frac)
@@ -248,6 +282,11 @@ def curate_and_index_stream(
     if near_threshold is not None:
         handler = _near_dedup_handler(handler, index_dir, minhash_dir,
                                       near_threshold, num_perm, bands)
+    if span_n is not None:
+        # outermost wrapper: span rewrite feeds the (optional) near-
+        # dedup stage, mirroring the batch job's span-first ordering
+        handler = _span_dedup_handler(handler, index_dir, span_dir,
+                                      span_n)
     writer = (
         survivors.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint_dir)

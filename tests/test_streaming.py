@@ -766,3 +766,75 @@ def test_prepare_stream_repetition_gates(spark, tmp_path):
         df.select("doc_id", "text"), exact=True, near_threshold=None,
         chunk_size=None, **kw)["docs"]
     assert {r["doc_id"] for r in batch.collect()} == got
+
+
+def test_streaming_span_dedup(spark, tmp_path):
+    """curate_and_index_stream(span_n=..., span_dir=...): already-seen
+    n-token spans are removed from arriving docs before indexing
+    (first-ARRIVED occurrence survives; equals the batch rule when
+    arrival follows (doc_id, pos) order), and the span-store lookup is
+    replay-deterministic (reads only committed batches < batch_id)."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.dedup import span_filter_and_append
+    from oboyu_spark.operators.searchidx import search_index
+    from oboyu_spark.streaming.dedupstream import curate_and_index_stream
+
+    inp, idx, chk, sp = (str(tmp_path / d)
+                         for d in ("in", "idx", "chk", "spans"))
+    boiler = " ".join(f"boiler{i}" for i in range(12))
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).select("doc_id", "text",
+                 F.col("ts").cast("timestamp").alias("ts"))
+
+    kw = dict(min_quality=None, span_n=10, span_dir=sp)
+    batch1 = [("a", "alpha owner words " + boiler + " tail one",
+               "2025-01-01 10:00:00"),
+              ("c", "totally unrelated content about query engines",
+               "2025-01-01 10:01:00")]
+    batch2 = [("b", "beta follower text " + boiler + " other end",
+               "2025-01-01 10:10:00")]
+    _df(batch1).write.mode("append").parquet(inp)
+    q = curate_and_index_stream(spark, inp, idx, chk, **kw)
+    q.awaitTermination(120)
+    _df(batch2).write.mode("append").parquet(inp)
+    q = curate_and_index_stream(spark, inp, idx, chk, **kw)
+    q.awaitTermination(120)
+
+    # the boilerplate span survives only in its first-arrived owner
+    hits = {r.doc_id for r in search_index(
+        spark, idx, "boiler0 boiler3 boiler7", k=10).collect()}
+    assert hits == {"a"}
+    # b's unique tokens are indexed (the doc survived, rewritten)
+    hits_b = {r.doc_id for r in search_index(
+        spark, idx, "beta follower", k=10, mode="and").collect()}
+    assert hits_b == {"b"}
+
+    # replay determinism of the store lookup: same batch id re-filters
+    # identically (its own append is excluded by ordinal)
+    late = spark.createDataFrame(
+        [("m", "mid words " + boiler + " zz end")],
+        "doc_id string, text string",
+    )
+    first = sorted(map(tuple, span_filter_and_append(
+        late, sp, 10, batch_id=50).select(
+        "doc_id", "text", "n_tokens_removed").collect()))
+    replay = sorted(map(tuple, span_filter_and_append(
+        late, sp, 10, batch_id=50).select(
+        "doc_id", "text", "n_tokens_removed").collect()))
+    assert first == replay
+    # 13 = the 12 boiler tokens + 'words', whose [words boiler0..8]
+    # context span is also store-known from doc a
+    assert first[0][2] == 13
+
+    # divergence pin: a LOWER-id copy arriving later loses its tokens
+    # (first-ARRIVED wins on a stream; the batch operator would keep it)
+    lower = spark.createDataFrame(
+        [("A0", "earliest id " + boiler + " arrives last")],
+        "doc_id string, text string",
+    )
+    out = span_filter_and_append(lower, sp, 10, batch_id=51).collect()[0]
+    assert out.n_tokens_removed == 12 and "boiler0" not in out.text
