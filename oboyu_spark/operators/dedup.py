@@ -577,8 +577,12 @@ def span_filter_and_append(
     exact pre-append store and recomputes the identical rewrite (its
     own crashed half-append is either overwritten or ignored for want
     of ``_SUCCESS``)."""
+    import os
+
     from pyspark.sql import Window as W
 
+    parent, name = os.path.split(os.path.abspath(span_dir))
+    _recover_swap(parent, name)  # heal a crashed span_store_compact
     spark = batch.sparkSession
     spans_b = batch.select(
         F.col(id_col).alias("doc_id"),
@@ -605,6 +609,40 @@ def span_filter_and_append(
     spans_b.select("span_hash").distinct().write.mode("overwrite") \
         .parquet(f"{span_dir}/batch={int(batch_id)}")
     return cleaned
+
+
+def span_store_compact(spark: SparkSession, span_dir: str) -> None:
+    """Fold the span store's committed ``batch=N`` dirs into ONE
+    distinct ``batch=0`` dir — the store otherwise grows one directory
+    per stream micro-batch forever. Lookup semantics are unchanged
+    (ordinal 0 precedes every future stream batch id). Swap discipline
+    and the between-renames crash window share ``_recover_swap`` with
+    the minhash/IVF compactors (healed on entry here and in
+    ``span_filter_and_append``).
+
+    Run only on a QUIESCED stream (no unfinalized in-flight batch): a
+    crash-replay of batch K must see exactly the ordinals < K, and the
+    fold collapses them all to 0 — same operational contract as
+    ``minhash_index_compact``."""
+    import os
+    import shutil
+
+    parent, name = os.path.split(os.path.abspath(span_dir))
+    _recover_swap(parent, name)
+    batches = _span_store_batches(span_dir)
+    if len(batches) <= 1:
+        return
+    tmp = f"{span_dir}_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.option("basePath", span_dir)
+        .parquet(*[f"{span_dir}/batch={b}" for b in batches])
+        .select("span_hash").distinct()
+        .write.mode("overwrite").parquet(f"{tmp}/batch=0")
+    )
+    os.rename(span_dir, f"{span_dir}_old")
+    os.rename(tmp, span_dir)
+    shutil.rmtree(f"{span_dir}_old", ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

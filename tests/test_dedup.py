@@ -630,3 +630,52 @@ def test_drop_duplicated_spans(spark):
            for r in D.drop_duplicated_spans(rdocs, n=3).collect()}
     exp = _py_drop_spans(rrows, 3)
     assert got == exp
+
+
+def test_span_store_compact_and_crash_recovery(spark, tmp_path):
+    """span_store_compact folds committed batch dirs into one batch=0
+    with identical lookup results; the between-renames crash window
+    (no dir at the live path) self-heals via _recover_swap on the next
+    filter or compact, like the minhash/IVF compactors."""
+    import os
+
+    sp = str(tmp_path / "spans")
+    boiler = " ".join(f"sb{i}" for i in range(10))
+    b1 = spark.createDataFrame(
+        [("a", "one " + boiler + " tail")], "doc_id string, text string")
+    b2 = spark.createDataFrame(
+        [("b", "two " + boiler + " end")], "doc_id string, text string")
+    D.span_filter_and_append(b1, sp, 8, batch_id=1).collect()
+    D.span_filter_and_append(b2, sp, 8, batch_id=2).collect()
+
+    probe = spark.createDataFrame(
+        [("p", "probe " + boiler + " zz")], "doc_id string, text string")
+
+    def run_probe():
+        return sorted(map(tuple, D.span_filter_and_append(
+            probe, sp, 8, batch_id=10).select(
+            "doc_id", "text", "n_tokens_removed").collect()))
+
+    before = run_probe()
+    assert before[0][2] >= 10  # store-known boiler removed
+    os.path.isdir(f"{sp}/batch=10") and __import__("shutil").rmtree(
+        f"{sp}/batch=10")  # drop the probe's own append between runs
+
+    D.span_store_compact(spark, sp)
+    dirs = [d for d in os.listdir(sp) if d.startswith("batch=")]
+    assert dirs == ["batch=0"], dirs
+    assert run_probe() == before
+
+    # crash window: complete compacting dir written, live renamed away,
+    # second rename never happened — the next filter call rolls forward
+    import shutil
+
+    shutil.rmtree(f"{sp}/batch=10", ignore_errors=True)
+    spark.read.parquet(f"{sp}/batch=0").write.mode("overwrite").parquet(
+        f"{sp}_compacting/batch=0")
+    os.rename(sp, f"{sp}_old")
+    assert not os.path.exists(sp)
+    assert run_probe() == before
+    assert os.path.isdir(sp)
+    assert not os.path.exists(f"{sp}_old")
+    assert not os.path.exists(f"{sp}_compacting")
