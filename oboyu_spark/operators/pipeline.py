@@ -129,6 +129,7 @@ def prepare_corpus(
     min_quality: Optional[float] = None,
     max_dup_line_frac: Optional[float] = None,
     max_top_bigram_frac: Optional[float] = None,
+    pii_kinds: "Optional[tuple[str, ...]]" = None,
     langs: "Optional[tuple[str, ...]]" = None,
     chunk_size: Optional[int] = 1024,
     chunk_overlap: int = 256,
@@ -186,6 +187,15 @@ def prepare_corpus(
             out = out.filter(
                 top_bigram_frac(F.col(text_col)) <= max_top_bigram_frac
             )
+    if pii_kinds is not None:
+        # PII scrub (textstats.redact_pii): a stateless text REWRITE
+        # (regexp_replace chain), after the dedup stages — fingerprints
+        # and near-dup signatures see the original text, the published
+        # corpus sees the masked one
+        from .textstats import redact_pii
+
+        out = out.withColumn(text_col,
+                             redact_pii(F.col(text_col), pii_kinds))
     if langs is not None:
         # language gate (textstats.language_id heuristic): like the
         # quality gate, a stateless column predicate Catalyst fuses

@@ -256,6 +256,44 @@ def top_bigram_frac(col: Column) -> Column:
     return F.when(n_bg <= 0, 0.0).otherwise(top_bg / n_bg)
 
 
+# PII patterns — written in the Java-regex ∩ RE2 common subset so the
+# SAME strings run in Spark (Java) and DuckDB (RE2): ASCII classes,
+# bounded repeats, \b word boundaries; no lookaround, no \p classes.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    # US-style 555-123-4567 / 555.123.4567 and +<7-15 digit> intl
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b|\+\d{7,15}",
+}
+
+
+def redact_pii(col: Column, kinds: "tuple[str, ...]" = ("email", "ipv4",
+                                                        "phone")) -> Column:
+    """Mask PII spans with <EMAIL>/<IPV4>/<PHONE> tokens — the standard
+    regex scrub a training-data pipeline runs before publication
+    (Dolma/RedPajama-style; conservative ASCII patterns, false
+    positives preferred over leaks). Pure regexp_replace chain: scan-
+    fused, zero shuffle, exact DuckDB twin (same pattern strings)."""
+    out = col
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-doc PII match counts (one column per kind) + redacted text."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            F.regexp_count(c, F.lit(p)).alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+        redact_pii(c).alias("redacted_text"),
+    )
+
+
 def unigram_logprob_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -268,3 +268,23 @@ def test_repetition_gate_stage(spark):
     # defaults leave the corpus untouched
     kept = {r["doc_id"] for r in prepare_corpus(docs, **kw)["docs"].collect()}
     assert kept == {1, 2, 3}
+
+
+def test_pii_scrub_stage(spark):
+    """pii_kinds=(...) rewrites the text AFTER the dedup stages (masked
+    output, original-text fingerprints) and composes with the other
+    gates; defaults leave text untouched."""
+    rows = [
+        (1, "write to alice@example.org about the spark cluster"),
+        (2, "plain document with no sensitive content at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(exact=True, near_threshold=None, min_quality=None,
+              chunk_size=None)
+    out = {r["doc_id"]: r["text"] for r in prepare_corpus(
+        docs, pii_kinds=("email",), **kw)["docs"].collect()}
+    assert out[1] == "write to <EMAIL> about the spark cluster"
+    assert out[2] == rows[1][1]
+    plain = {r["doc_id"]: r["text"] for r in prepare_corpus(
+        docs, **kw)["docs"].collect()}
+    assert plain[1] == rows[0][1]

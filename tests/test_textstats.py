@@ -222,3 +222,62 @@ def test_repetition_stats(spark):
     for col in ["n_lines", "dup_line_frac", "dup_line_char_frac",
                 "top_bigram_frac"]:
         assert list(spark_pdf[col]) == list(duck_pdf[col]), col
+
+
+def test_pii_redaction(spark):
+    """PII scrub: emails/IPv4/phones masked, counts exact, and the
+    pattern strings behave IDENTICALLY in DuckDB (RE2) — pinned over
+    planted PII plus real sf0.01 documents."""
+    import duckdb
+
+    from oboyu_spark.operators.textstats import PII_PATTERNS, pii_stats
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.jp or call "
+            "555-123-4567 today"),
+        (2, "server at 10.0.255.3 and backup at 192.168.1.1 ok"),
+        (3, "intl +81345678901 and email a@b.io and ip 1.2.3.4"),
+        (4, "nothing sensitive here, just 3.14 and v1.2 and a@ b"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+    assert "<EMAIL>" in got[1]["redacted_text"]
+    assert "<PHONE>" in got[1]["redacted_text"]
+    assert "jane.doe" not in got[1]["redacted_text"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["redacted_text"].count("<IPV4>") == 2
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) \
+        == (1, 1, 1)
+    # version strings / floats / malformed emails are NOT matched
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) \
+        == (0, 0, 0)
+    assert got[4]["redacted_text"] == rows[3][1]
+
+    # cross-engine twin: identical counts + redacted text in DuckDB
+    sf_docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select((F.col("doc_id").cast("long") + 1_000_000).alias("doc_id"),
+                "text")
+        .limit(200)
+    )
+    both = docs.unionByName(sf_docs)
+    spark_pdf = pii_stats(both).toPandas().sort_values(
+        "doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("docs_in", both.toPandas())
+    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    duck_pdf = con.sql(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{e}')) AS n_email,
+               len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{p}')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{e}', '<EMAIL>', 'g'),
+                   '{i}', '<IPV4>', 'g'),
+                   '{p}', '<PHONE>', 'g') AS redacted_text
+        FROM docs_in ORDER BY doc_id
+    """).df()
+    for col in ["n_email", "n_ipv4", "n_phone", "redacted_text"]:
+        assert list(spark_pdf[col]) == list(duck_pdf[col]), col
