@@ -8,7 +8,8 @@
         [--near-method minhash|winnow|simhash] \
         [--near-policy greedy|components] \
         [--min-quality 0.3] [--max-dup-line-frac 0.3] \
-        [--max-top-bigram-frac 0.2] [--langs en,ja] \
+        [--max-top-bigram-frac 0.2] [--redact-pii email,ipv4,phone] \
+        [--langs en,ja] \
         [--chunk-size 1024] [--chunk-overlap 256] \
         [--embed-dim 64] [--pack-budget 2048]
 
@@ -57,6 +58,10 @@ def main() -> None:
                          "fraction of bigram slots")
     ap.add_argument("--langs",
                     help="comma-separated language_id values to keep")
+    ap.add_argument("--redact-pii",
+                    help="comma-separated PII kinds to mask in the "
+                         "output text (email,ipv4,phone) — applied "
+                         "after the dedup stages")
     ap.add_argument("--sample-fraction", type=float,
                     help="deterministic hash-gate pre-sample")
     ap.add_argument("--sample-seed", type=int, default=42)
@@ -125,6 +130,8 @@ def main() -> None:
         min_quality=args.min_quality,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        pii_kinds=(tuple(args.redact_pii.split(","))
+                   if args.redact_pii else None),
         langs=tuple(args.langs.split(",")) if args.langs else None,
         chunk_size=None,
         embed_dim=None,
