@@ -137,6 +137,22 @@ def test_quality_filter_is_scan_fused_predicate(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_pii_stats_is_scan_fused(spark, tmp_path):
+    """pii_stats / redact_pii are regexp column expressions — no
+    Exchange, no python UDF; the scrub rides the scan at any scale."""
+    from oboyu_spark.operators.textstats import pii_stats
+
+    p = str(tmp_path / "pdocs")
+    spark.createDataFrame(
+        [(i, f"contact user{i}@example.com at 10.0.0.{i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    plan = _plan(pii_stats(spark.read.parquet(p)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_duplicated_spans_single_shuffle(spark, tmp_path):
     """Span-dedup detection is one explode + ONE shuffle (the window
     keyed on the 64-bit span hash) — no extra Exchange, no python UDF,
