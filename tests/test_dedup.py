@@ -679,3 +679,51 @@ def test_span_store_compact_and_crash_recovery(spark, tmp_path):
     assert os.path.isdir(sp)
     assert not os.path.exists(f"{sp}_old")
     assert not os.path.exists(f"{sp}_compacting")
+
+
+def test_span_store_job_lifecycle(spark, tmp_path, monkeypatch, capsys):
+    """jobs/span_store.py filter -> filter -> compact drive the span
+    store through the spark-submit surface: the second batch loses the
+    span the first batch owns; compact folds to batch=0."""
+    import json
+    import sys
+
+    from oboyu_spark.jobs import span_store as J
+
+    boiler = " ".join(f"jb{i}" for i in range(12))
+    b1 = spark.createDataFrame(
+        [("a", "owner one " + boiler + " tail")],
+        "doc_id string, text string")
+    b2 = spark.createDataFrame(
+        [("b", "copy two " + boiler + " end")],
+        "doc_id string, text string")
+    st = str(tmp_path / "jobspans")
+    p1, p2 = str(tmp_path / "b1_pq"), str(tmp_path / "b2_pq")
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    b1.write.parquet(p1)
+    b2.write.parquet(p2)
+
+    monkeypatch.setattr(sys, "argv", [
+        "span_store.py", "filter", "--store", st, "--docs", p1,
+        "--batch-id", "1", "--out", o1, "--n", "10",
+    ])
+    J.main()
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["tokens_removed"] == 0 and r1["docs"] == 1
+
+    monkeypatch.setattr(sys, "argv", [
+        "span_store.py", "filter", "--store", st, "--docs", p2,
+        "--batch-id", "2", "--out", o2, "--n", "10",
+    ])
+    J.main()
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["tokens_removed"] == 12
+    txt = spark.read.parquet(o2).collect()[0]["text"]
+    assert "jb0" not in txt and "copy two" in txt
+
+    monkeypatch.setattr(sys, "argv", [
+        "span_store.py", "compact", "--store", st,
+    ])
+    J.main()
+    rc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc["batches"] == [0]
