@@ -14,8 +14,10 @@
         [--embed-dim 64] [--pack-budget 2048]
 
 Runs operators/pipeline.prepare_corpus (optional deterministic sample →
-exact dedup → near dedup under the chosen lens+policy → quality filter
-→ language filter → chunk → embed → optional sequence packing) and
+exact dedup → [exact span dedup] → near dedup under the chosen
+lens+policy → quality/repetition/PII gates → language filter → chunk →
+embed → optional sequence packing; exact dedup runs BEFORE the span
+stage, matching the streaming curate path's order — ADVICE r6) and
 writes:
 
     <output>/docs/        cleaned documents
@@ -60,8 +62,13 @@ def main() -> None:
                     help="comma-separated language_id values to keep")
     ap.add_argument("--redact-pii",
                     help="comma-separated PII kinds to mask in the "
-                         "output text (email,ipv4,phone) — applied "
-                         "after the dedup stages")
+                         "output text (email,ipv4,phone,ssn,"
+                         "credit_card) — applied after the dedup "
+                         "stages")
+    ap.add_argument("--max-pii-count", type=int,
+                    help="PII density gate: drop docs with more than "
+                         "this many PII matches (all kinds) in the "
+                         "ORIGINAL text")
     ap.add_argument("--sample-fraction", type=float,
                     help="deterministic hash-gate pre-sample")
     ap.add_argument("--sample-seed", type=int, default=42)
@@ -101,11 +108,24 @@ def main() -> None:
                                     seed=args.sample_seed,
                                     id_col=args.id_col)
         report["sample_fraction"] = args.sample_fraction
+    span_ran_exact = False
     if args.drop_span_dups:
         from pyspark.sql import functions as F
 
-        from oboyu_spark.operators.dedup import drop_duplicated_spans
+        from oboyu_spark.operators.dedup import (
+            dedup_exact, drop_duplicated_spans,
+        )
 
+        # exact dedup FIRST (ADVICE r6): an exact duplicate with >= N
+        # tokens would otherwise have its whole token stream
+        # span-removed, changing its fingerprint so the later exact
+        # stage can no longer drop it against the original — and the
+        # streaming path (curate_and_index_stream) already runs
+        # exact-first, span-second; this keeps batch == stream order
+        if not args.no_exact:
+            docs = dedup_exact(docs, id_col=args.id_col,
+                               text_col=args.text_col)
+            span_ran_exact = True
         cleaned_spans = drop_duplicated_spans(
             docs, n=args.drop_span_dups, id_col=args.id_col,
             text_col=args.text_col,
@@ -123,13 +143,18 @@ def main() -> None:
     # previous stage's written parquet
     res = prepare_corpus(
         docs,
-        exact=not args.no_exact,
+        # the span pre-stage already ran exact dedup (exact-first, the
+        # stream's order); re-running it here would additionally
+        # collapse docs that only BECAME identical after the span
+        # rewrite — which the stream does not do
+        exact=(not args.no_exact) and not span_ran_exact,
         near_threshold=None if args.no_near else args.near_threshold,
         near_method=args.near_method,
         near_policy=args.near_policy,
         min_quality=args.min_quality,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        max_pii_count=args.max_pii_count,
         pii_kinds=(tuple(args.redact_pii.split(","))
                    if args.redact_pii else None),
         langs=tuple(args.langs.split(",")) if args.langs else None,

@@ -412,13 +412,16 @@ def duplicated_spans(
     ascending) — rank 1 is the occurrence ``drop_duplicated_spans``
     keeps.
 
-    Scale shape: one explode (len − n + 1 rows per doc, ``max_tokens``
-    bounds it) and ONE shuffle keyed on the 64-bit span hash; skew-safe
-    (a boilerplate span repeated 10⁶ times is 10⁶ rows under one key —
-    cap upstream via max_tokens or pre-filter if a corpus is
-    pathological). Spans are matched by xxhash64 — a 64-bit collision
-    marking a false duplicate is ~n_spans²/2⁶⁵ and affects single
-    spans, not documents."""
+    DIAGNOSTIC surface: full per-occurrence ranks require a rank
+    window over ``span_hash``, which has no partial aggregation — a
+    boilerplate span repeated 10⁶ times is 10⁶ rows sorted by ONE
+    task. Use this when you want to inspect every occurrence of the
+    duplicated spans; the REMOVAL pipeline (:func:`drop_duplicated_
+    spans`) never calls it — its first-occurrence/count reduction is
+    aggregation-shaped (map-side combine absorbs the hot key, VERDICT
+    r6 #2). Spans are matched by xxhash64 — a 64-bit collision marking
+    a false duplicate is ~n_spans²/2⁶⁵ and affects single spans, not
+    documents."""
     from pyspark.sql import Window as W
 
     spans = docs.select(
@@ -437,6 +440,42 @@ def duplicated_spans(
             F.count(F.lit(1)).over(cw).alias("n_occ"),
         )
         .filter(F.col("n_occ") >= 2)
+    )
+
+
+def _nonfirst_span_occurrences(spans: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every span occurrence that is NOT the
+    globally-first ((doc_id, pos) ascending) occurrence of its
+    ``span_hash`` — i.e. exactly the occurrences the drop path removes.
+
+    Aggregation-shaped, NOT a rank window (VERDICT r6 #2): the drop
+    decision only needs each span's min occurrence and a count ≥ 2,
+    both combiner-friendly — ``groupBy(span_hash).agg(min(struct(
+    doc_id, pos)), count)`` runs map-side partial aggregation, so a
+    boilerplate span repeated 10⁸ times (license headers, templates —
+    guaranteed in a web corpus) contributes ONE partial row per map
+    task instead of 10⁸ rows sorted by one window task. The join back
+    is an equi-join on span_hash that AQE can broadcast (the
+    duplicated-span set is usually a small fraction) or skew-split —
+    both unavailable to a window sort. ``min(struct)`` compares
+    field-wise, identical ordering to the old ``orderBy(doc_id,
+    pos)`` window for both string and numeric ids."""
+    firsts = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("span_hash", "first")
+    )
+    return (
+        spans.join(firsts, "span_hash")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
     )
 
 
@@ -459,9 +498,21 @@ def drop_duplicated_spans(
     stripped), the same token-stream semantics Lee et al. operate on;
     downstream consumers are training pipelines that tokenize anyway.
     Docs with no duplicated spans pass through with their token stream
-    intact (n_tokens_removed = 0)."""
-    rem = duplicated_spans(docs, n, id_col, text_col, min_token_length,
-                           max_tokens).filter(F.col("rank") >= 2)
+    intact (n_tokens_removed = 0).
+
+    Scale shape: one explode per pass, the first-occurrence reduction
+    as a partial-aggregating groupBy + mark-join (hot-span-skew-safe,
+    see :func:`_nonfirst_span_occurrences`; plan-gated by
+    test_plan_shapes), then the interval-merged rewrite of
+    :func:`_remove_span_occurrences`."""
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            span_hashes_expr(F.col(text_col), n, min_token_length,
+                             max_tokens)
+        ).alias("pos", "span_hash"),
+    )
+    rem = _nonfirst_span_occurrences(spans)
     return _remove_span_occurrences(docs, rem, n, id_col, text_col,
                                     min_token_length)
 
@@ -579,8 +630,6 @@ def span_filter_and_append(
     of ``_SUCCESS``)."""
     import os
 
-    from pyspark.sql import Window as W
-
     parent, name = os.path.split(os.path.abspath(span_dir))
     _recover_swap(parent, name)  # heal a crashed span_store_compact
     spark = batch.sparkSession
@@ -591,9 +640,10 @@ def span_filter_and_append(
                              max_tokens)
         ).alias("pos", "span_hash"),
     )
-    w = W.partitionBy("span_hash").orderBy("doc_id", "pos")
-    removals = spans_b.withColumn("rnk", F.row_number().over(w)) \
-        .filter(F.col("rnk") >= 2).select("doc_id", "pos")
+    # within-batch non-first occurrences via the same aggregation-
+    # shaped reduction as the batch drop path (no rank window — a
+    # boilerplate-heavy micro-batch has the same hot-span skew)
+    removals = _nonfirst_span_occurrences(spans_b)
     prev = _span_store_batches(span_dir, below=int(batch_id))
     if prev:
         seen = (

@@ -116,7 +116,13 @@ def pack_sequences(
                                    token_col, min_token_length,
                                    bucket_hash_mode)
     if split:
-        w = Window.partitionBy("bucket").orderBy("doc_id")
+        # explicit ROWS frame (ADVICE r6): the default frame for an
+        # ordered window is RANGE UNBOUNDED PRECEDING, which sums
+        # ORDER-BY PEERS together — with a duplicate doc_id in a
+        # bucket that diverges from the DuckDB oracle's ROWS frame
+        # and yields overlapping seq offsets
+        w = Window.partitionBy("bucket").orderBy("doc_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         csum = F.sum("n_tokens").over(w)
         start = (csum - F.col("n_tokens")).alias("tok_start")
         out = base.select("doc_id", "bucket", "n_tokens",

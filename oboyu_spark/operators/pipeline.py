@@ -129,6 +129,7 @@ def prepare_corpus(
     min_quality: Optional[float] = None,
     max_dup_line_frac: Optional[float] = None,
     max_top_bigram_frac: Optional[float] = None,
+    max_pii_count: Optional[int] = None,
     pii_kinds: "Optional[tuple[str, ...]]" = None,
     langs: "Optional[tuple[str, ...]]" = None,
     chunk_size: Optional[int] = 1024,
@@ -187,11 +188,20 @@ def prepare_corpus(
             out = out.filter(
                 top_bigram_frac(F.col(text_col)) <= max_top_bigram_frac
             )
+    if max_pii_count is not None:
+        # PII density gate (VERDICT r6 #6): a page riddled with emails
+        # / phone numbers / card numbers is a contact dump or a leak,
+        # not prose — DROP it rather than publish a mask-riddled text.
+        # Evaluated on the ORIGINAL text (before any redaction), like
+        # the other gates a stateless scan-fused predicate.
+        from .textstats import pii_match_count
+
+        out = out.filter(pii_match_count(F.col(text_col)) <= max_pii_count)
     if pii_kinds is not None:
         # PII scrub (textstats.redact_pii): a stateless text REWRITE
-        # (regexp_replace chain), after the dedup stages — fingerprints
-        # and near-dup signatures see the original text, the published
-        # corpus sees the masked one
+        # (regexp_replace chain + Luhn-checked card-number fold), after
+        # the dedup stages — fingerprints and near-dup signatures see
+        # the original text, the published corpus sees the masked one
         from .textstats import redact_pii
 
         out = out.withColumn(text_col,

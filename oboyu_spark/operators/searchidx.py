@@ -27,6 +27,7 @@ pruned alternative; both must agree exactly on fixtures.
 from __future__ import annotations
 
 import math
+import threading
 from typing import Callable, Sequence
 
 import numpy as np
@@ -54,10 +55,39 @@ DRIVER_CUT_MAX_ROWS = 200_000
 PART_PRUNE_MAX_PER_TERM = 4096
 PART_PRUNE_MAX_UNION = 16384
 
-# observability seam (tests + ops): the last search's pruning decision
-# — which bparts the postings scan was limited to (None = no pruning
-# applied). Overwritten per _search call; read by test_plan_shapes.
-_LAST_SCAN_INFO: dict = {}
+class _ThreadLocalScanInfo(threading.local):
+    """Dict-shaped per-THREAD record of the last search's pruning
+    decision — which bparts the postings scan was limited to (None =
+    no pruning applied). Overwritten per _search call; read by
+    test_plan_shapes/test_index. Thread-local (ADVICE r6) so
+    concurrent searches on one SparkSession don't interleave each
+    other's records; note exp_part_prune.py's PART_PRUNE_MAX_UNION
+    override remains a module-global experiment knob, not a serving
+    seam."""
+
+    def __init__(self) -> None:
+        self._d: dict = {}
+
+    def clear(self) -> None:
+        self._d.clear()
+
+    def get(self, key, default=None):
+        return self._d.get(key, default)
+
+    def __getitem__(self, key):
+        return self._d[key]
+
+    def __setitem__(self, key, value) -> None:
+        self._d[key] = value
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __repr__(self) -> str:
+        return repr(self._d)
+
+
+_LAST_SCAN_INFO = _ThreadLocalScanInfo()
 
 
 def _query_maps(queries: Sequence[str], min_token_length: int):

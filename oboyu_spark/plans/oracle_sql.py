@@ -1430,3 +1430,152 @@ SELECT doc_id, bucket, n_tokens,
        ((tok_end - 1) // {budget})::BIGINT AS seq_last,
        ((tok_end - n_tokens) % {budget})::BIGINT AS "offset"
 FROM pos"""
+
+
+# ---------------------------------------------------------------------------
+# r7 rotations: span dedup, repetition lens, PII (VERDICT r6 #1)
+# ---------------------------------------------------------------------------
+
+def _toks_sql(text: str = "text") -> str:
+    """Engine-tokenizer token ARRAY (ordered) in DuckDB."""
+    return (
+        f"list_filter(regexp_extract_all(lower({text}), "
+        f"'{DUCKDB_TOKEN_PATTERN}'), t -> length(t) >= {MIN_TOKEN_LENGTH})"
+    )
+
+
+def drop_duplicated_spans_sql(n: int = 10, source: str = "dupdocs") -> str:
+    """Exact twin of dedup.drop_duplicated_spans over the dupdocs
+    corpus (injected exact duplicates guarantee repeated spans):
+    spans matched by their token STRINGS (the engine's xxhash64 is
+    collision-free at test scale), first occurrence by (doc_id, pos),
+    every other occurrence's [pos, pos+n) tokens removed, text rebuilt
+    from the surviving token stream. The per-token coverage check is
+    O(removals) per token — fine at oracle scale; the ENGINE side is
+    the interval-merged rewrite."""
+    pre = f"WITH {DUPDOCS_CTE}," if source == "dupdocs" else "WITH"
+    return f"""{pre}
+toks AS (
+  SELECT doc_id, {_toks_sql()} AS tk FROM {source}
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+{n - 1}], ' ') AS span
+  FROM toks, unnest(range(1, greatest(len(tk) - {n} + 2, 1))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rnk,
+         count(*) OVER (PARTITION BY span) AS n_occ
+  FROM spans
+),
+rem AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS rps
+  FROM ranked WHERE rnk >= 2 AND n_occ >= 2 GROUP BY doc_id
+),
+j AS (
+  SELECT t.doc_id, t.tk, coalesce(r.rps, CAST([] AS BIGINT[])) AS rps
+  FROM toks t LEFT JOIN rem r USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, tk,
+         list_filter(range(1, len(tk) + 1),
+                     i -> len(list_filter(rps,
+                              p -> p <= i - 1 AND i - 1 < p + {n})) = 0)
+           AS ki
+  FROM j
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(ki, i -> tk[i]), ' '), '')
+         AS text,
+       (len(tk) - len(ki))::INT AS n_tokens_removed
+FROM kept"""
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    """Exact twin of textstats.repetition_stats (Gopher-style lens):
+    dup-line fraction, dup-line char fraction, and the top-bigram
+    fraction (word = whitespace token, same split class as
+    word_count)."""
+    return f"""
+WITH L AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         list_filter(string_split_regex(text, '{WS_RE2}+'),
+                     x -> length(x) > 0) AS w
+  FROM {table}
+), M AS (
+  SELECT doc_id, lines, w,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dl,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS dc,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM L
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       round(CASE WHEN n_lines = 0 THEN 0.0
+             ELSE (n_lines - n_dl) / CAST(n_lines AS DOUBLE) END, {ROUND})
+         AS dup_line_frac,
+       round(CASE WHEN lc = 0 THEN 0.0
+             ELSE (lc - dc) / CAST(lc AS DOUBLE) END, {ROUND})
+         AS dup_line_char_frac,
+       round(CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x))))
+                  / CAST(len(bg) AS DOUBLE) END, {ROUND})
+         AS top_bigram_frac
+FROM M"""
+
+
+def luhn_sql(digits: str) -> str:
+    """Luhn checksum predicate over a digits-only VARCHAR expression —
+    the DuckDB half of textstats.luhn_valid (identical arithmetic:
+    reversed 1-based positions, even positions doubled with 9
+    subtracted above 9, sum divisible by 10, 13-19 digits)."""
+    d = f"CAST(substr(reverse({digits}), i, 1) AS INT)"
+    return (
+        f"(coalesce(list_sum(list_transform(range(1, length({digits}) + 1),"
+        f" i -> CASE WHEN i % 2 = 0 THEN"
+        f" CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END"
+        f" ELSE {d} END)), 0) % 10 = 0"
+        f" AND length({digits}) >= 13)"
+    )
+
+
+def pii_stats_sql(table: str = "documents") -> str:
+    """Exact twin of textstats.pii_stats: per-kind regex match counts,
+    Luhn-checked credit-card count, and the fully-redacted text (card
+    fold first, then the regex kinds in PII_KINDS order — the same
+    strings and the same checksum as the engine)."""
+    from ..operators.textstats import CC_CANDIDATE_PATTERN, PII_PATTERNS
+
+    e, i, p, s = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone",
+                                            "ssn"))
+    luhn = luhn_sql("regexp_replace(c, '[^0-9]', '', 'g')")
+    red = "list_reduce(list_prepend(text, cc_valid), " \
+          "(a, b) -> replace(a, b, '<CREDIT_CARD>'))"
+    for k, tok in (("email", "EMAIL"), ("ipv4", "IPV4"),
+                   ("phone", "PHONE"), ("ssn", "SSN")):
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{tok}>', 'g')"
+    return f"""
+WITH cands AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(text, '{CC_CANDIDATE_PATTERN}'),
+                     c -> {luhn}) AS cc_valid
+  FROM {table}
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{i}'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '{p}'))::INT AS n_phone,
+       len(regexp_extract_all(text, '{s}'))::INT AS n_ssn,
+       len(cc_valid)::INT AS n_credit_card,
+       {red} AS redacted_text
+FROM cands"""

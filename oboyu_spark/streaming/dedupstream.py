@@ -159,40 +159,47 @@ def _near_dedup_handler(base, index_dir: str, minhash_dir: str,
                                 num_perm=num_perm, bands=bands)
         pairs = minhash_index_append_pairs(batch_df, minhash_dir,
                                            threshold=threshold)
-        drop_ids = sorted(
-            r["doc_id"] for r in
-            pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-            .collect()
-        )
-        if drop_ids:
-            small = len(drop_ids) <= NEAR_DROP_ISIN_MAX
-            drop_f = None if small else spark.createDataFrame(
-                [(d,) for d in drop_ids],
-                batch_df.select("doc_id").schema,
-            )
-            if small:
-                batch_df = batch_df.filter(
-                    ~F.col("doc_id").isin(drop_ids)
-                )
-            else:
-                batch_df = batch_df.join(drop_f, "doc_id", "left_anti")
-            # retroactive branch: ids already in the live index (the
-            # docmap lookup respects the same isin/join cutover as the
-            # batch filter — a 10^5-literal In over the docmap scan is
-            # the same driver-plan bloat either way)
-            if os.path.isdir(f"{index_dir}/docmap"):
-                tomb = {int(t) for t in load_tombstones(index_dir)}
-                dm = spark.read.parquet(f"{index_dir}/docmap")
-                dm = (dm.filter(F.col("doc_id").isin(drop_ids)) if small
-                      else dm.join(drop_f, "doc_id", "left_semi"))
-                hit = dm.select("doc_id", "doc_int").collect()
-                indexed = sorted(
-                    {r["doc_id"] for r in hit
-                     if int(r["doc_int"]) not in tomb}
-                )
-                if indexed:
-                    delete_docs(spark, index_dir, indexed)
-        base(batch_df, batch_id)
+        # keep the drop set a DATAFRAME (ADVICE r6): a boilerplate
+        # batch can produce 10^6+ near-dup pairs, and collecting the
+        # whole id set to the driver just to decide the filter shape
+        # would materialize it all in driver memory. count() picks the
+        # isin/anti-join cutover; the only collects are the bounded
+        # isin literal list (<= NEAR_DROP_ISIN_MAX) and the
+        # delete_docs id list AFTER the docmap semi-join has reduced
+        # it to already-indexed ids.
+        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        drops.persist()
+        try:
+            n_drop = drops.count()
+            if n_drop:
+                small = n_drop <= NEAR_DROP_ISIN_MAX
+                if small:
+                    drop_ids = sorted(r["doc_id"] for r in drops.collect())
+                    batch_df = batch_df.filter(
+                        ~F.col("doc_id").isin(drop_ids)
+                    )
+                else:
+                    batch_df = batch_df.join(drops, "doc_id", "left_anti")
+                # retroactive branch: ids already in the live index
+                # (same isin/join cutover as the batch filter — a
+                # 10^5-literal In over the docmap scan is the same
+                # driver-plan bloat either way)
+                if os.path.isdir(f"{index_dir}/docmap"):
+                    tomb = {int(t) for t in load_tombstones(index_dir)}
+                    dm = spark.read.parquet(f"{index_dir}/docmap")
+                    dm = (dm.filter(F.col("doc_id").isin(drop_ids))
+                          if small
+                          else dm.join(drops, "doc_id", "left_semi"))
+                    hit = dm.select("doc_id", "doc_int").collect()
+                    indexed = sorted(
+                        {r["doc_id"] for r in hit
+                         if int(r["doc_int"]) not in tomb}
+                    )
+                    if indexed:
+                        delete_docs(spark, index_dir, indexed)
+            base(batch_df, batch_id)
+        finally:
+            drops.unpersist()
 
     return handler
 
@@ -218,11 +225,21 @@ def _span_dedup_handler(base, index_dir: str, span_dir: str, n: int,
             return
         if int(batch_id) in _done_batches(index_dir):
             return  # replay of a fully-finalized batch
+        # persist (ADVICE r6): the downstream handler chain fires ~4
+        # actions per micro-batch (isEmpty, minhash signing, docmap
+        # lookup, index append) and each would otherwise re-run the
+        # span explode + aggregation and the store semi-join from
+        # scratch — deterministic (frozen store paths) but a real
+        # per-batch cost multiplier
         cleaned = span_filter_and_append(
             batch_df, span_dir, n, int(batch_id),
             min_token_length=min_token_length,
         ).select("doc_id", "text")
-        base(cleaned, batch_id)
+        cleaned.persist()
+        try:
+            base(cleaned, batch_id)
+        finally:
+            cleaned.unpersist()
 
     return handler
 

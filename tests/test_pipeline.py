@@ -288,3 +288,31 @@ def test_pii_scrub_stage(spark):
     plain = {r["doc_id"]: r["text"] for r in prepare_corpus(
         docs, **kw)["docs"].collect()}
     assert plain[1] == rows[0][1]
+
+
+def test_pii_density_gate(spark):
+    """max_pii_count=N (VERDICT r6 #6) DROPS PII-dense docs — counted
+    on the ORIGINAL text, before any redaction — while sparse docs
+    pass (and can still be masked by pii_kinds). Luhn-checked card
+    numbers count; checksum-failing digit runs don't."""
+    rows = [
+        (1, "contact a@b.io or c@d.io or e@f.io and g@h.io today"),  # 4
+        (2, "one address only: alice@example.org"),                  # 1
+        (3, "cards 4111111111111111 and 4111-1111-1111-1111"),       # 2
+        (4, "order 1234567890123456 is luhn-invalid, keep me"),      # 0
+        (5, "nothing sensitive at all in this row"),                 # 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(exact=False, near_threshold=None, min_quality=None,
+              chunk_size=None)
+    kept = {r["doc_id"] for r in prepare_corpus(
+        docs, max_pii_count=1, **kw)["docs"].collect()}
+    assert kept == {2, 4, 5}
+    # gate composes with the scrub: survivors come out masked, and the
+    # gate saw the original (doc 2 passes at threshold 1 even though
+    # its text will be rewritten)
+    out = {r["doc_id"]: r["text"] for r in prepare_corpus(
+        docs, max_pii_count=1, pii_kinds=("email",), **kw)
+        ["docs"].collect()}
+    assert out[2] == "one address only: <EMAIL>"
+    assert out[4] == rows[3][1]

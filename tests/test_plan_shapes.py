@@ -177,6 +177,30 @@ def test_duplicated_spans_single_shuffle(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_drop_spans_reduction_is_aggregation_shaped(spark, tmp_path):
+    """VERDICT r6 #2: the REMOVAL path's first-occurrence reduction
+    must be a partial-aggregating groupBy on span_hash (map-side
+    combine absorbs a 10^8-occurrence boilerplate span) + a join back
+    — never a rank window over span_hash (single-task hot key). The
+    diagnostic duplicated_spans surface keeps its window (previous
+    test); this one pins the drop path's plan."""
+    from oboyu_spark.operators.dedup import drop_duplicated_spans
+
+    p = str(tmp_path / "dsdocs")
+    spark.createDataFrame(
+        [(i, "boiler plate words " * 5 + f"tail {i}") for i in range(30)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    plan = _plan(drop_duplicated_spans(spark.read.parquet(p), n=5))
+    # partial aggregation over span_hash BEFORE any exchange
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    # no window keyed on span_hash anywhere in the drop plan (the
+    # interval-merge windows are keyed on doc_id — bounded per doc)
+    assert "windowspecdefinition(span_hash" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_repetition_stats_is_scan_fused(spark, tmp_path):
     """repetition_stats is the same shape as quality_score: pure array
     column expressions — no Exchange, no python UDF; one scan covers

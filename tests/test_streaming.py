@@ -838,3 +838,55 @@ def test_streaming_span_dedup(spark, tmp_path):
     )
     out = span_filter_and_append(lower, sp, 10, batch_id=51).collect()[0]
     assert out.n_tokens_removed == 12 and "boiler0" not in out.text
+
+
+def test_streaming_span_divergence_is_exactly_out_of_order(spark, tmp_path):
+    """VERDICT r6 #5: bound the streaming-vs-batch span-dedup
+    divergence. Streaming keeps the first-ARRIVED occurrence, batch
+    keeps the first by (doc_id, pos) — so the two outputs may differ
+    on exactly the docs touching a span whose (doc_id, pos)-first
+    occurrence arrived in a LATER micro-batch, and on no other doc.
+    Both sides preserve the invariant 'every duplicated span survives
+    exactly once'."""
+    from oboyu_spark.operators.dedup import (
+        drop_duplicated_spans, span_filter_and_append,
+    )
+
+    sp = str(tmp_path / "spans")
+    s1 = " ".join(f"ooo{i}" for i in range(8))   # out-of-order span
+    s2 = " ".join(f"iii{i}" for i in range(8))   # in-order span
+    rows = {
+        # s1: first-by-id owner 'a' arrives AFTER high-id copy 'z'
+        "a": "aa head " + s1 + " aa tail",
+        "z": "zz head " + s1 + " zz tail",
+        # s2: first-by-id owner 'b' arrives BEFORE high-id copy 'y'
+        "b": "bb head " + s2 + " bb tail",
+        "y": "yy head " + s2 + " yy tail",
+        "c": "plain unrelated document body with no shared span",
+    }
+    all_docs = spark.createDataFrame(
+        sorted(rows.items()), "doc_id string, text string"
+    )
+    batch_out = {r.doc_id: r.text
+                 for r in drop_duplicated_spans(all_docs, n=8).collect()}
+
+    def _b(ids):
+        return spark.createDataFrame([(d, rows[d]) for d in ids],
+                                     "doc_id string, text string")
+
+    stream_out = {}
+    for bid, ids in enumerate([["z", "b", "c"], ["a", "y"]]):
+        for r in span_filter_and_append(_b(ids), sp, 8, bid).collect():
+            stream_out[r.doc_id] = r.text
+    # divergent docs are EXACTLY the two owners of the out-of-order
+    # span: the stream kept z's copy, batch keeps a's
+    diff = {d for d in rows if batch_out[d] != stream_out[d]}
+    assert diff == {"a", "z"}
+    assert "ooo0" in batch_out["a"] and "ooo0" not in batch_out["z"]
+    assert "ooo0" in stream_out["z"] and "ooo0" not in stream_out["a"]
+    # the in-order span and the untouched doc agree on both sides
+    assert "iii0" in batch_out["b"] and "iii0" not in batch_out["y"]
+    # single-survivor invariant holds on both sides for both spans
+    for tok in ("ooo3", "iii3"):
+        assert sum(tok in t for t in batch_out.values()) == 1
+        assert sum(tok in t for t in stream_out.values()) == 1

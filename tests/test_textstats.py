@@ -225,12 +225,14 @@ def test_repetition_stats(spark):
 
 
 def test_pii_redaction(spark):
-    """PII scrub: emails/IPv4/phones masked, counts exact, and the
-    pattern strings behave IDENTICALLY in DuckDB (RE2) — pinned over
-    planted PII plus real sf0.01 documents."""
+    """PII scrub: emails/IPv4/phones/SSNs masked, credit cards
+    Luhn-CHECKED then masked, counts exact, and the pattern strings +
+    checksum behave IDENTICALLY in DuckDB (RE2) — pinned over planted
+    PII plus real sf0.01 documents."""
     import duckdb
 
-    from oboyu_spark.operators.textstats import PII_PATTERNS, pii_stats
+    from oboyu_spark.operators.textstats import pii_stats
+    from oboyu_spark.plans.oracle_sql import pii_stats_sql
 
     rows = [
         (1, "contact me at jane.doe+spam@example.co.jp or call "
@@ -239,6 +241,12 @@ def test_pii_redaction(spark):
         (3, "intl +81345678901 and email a@b.io and ip 1.2.3.4"),
         (4, "nothing sensitive here, just 3.14 and v1.2 and a@ b"),
         (5, ""),
+        (6, "ssn 123-45-6789 on file"),
+        # Luhn-valid visa (plain + separated) and amex; the 16-digit
+        # run in doc 9 FAILS the checksum and must survive unmasked
+        (7, "card 4111111111111111 exp 12/28"),
+        (8, "pay 4111-1111-1111-1111 or 378282246310005 now"),
+        (9, "order id 1234567890123456 is not a card"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
@@ -254,8 +262,19 @@ def test_pii_redaction(spark):
     assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) \
         == (0, 0, 0)
     assert got[4]["redacted_text"] == rows[3][1]
+    assert got[6]["n_ssn"] == 1 and "<SSN>" in got[6]["redacted_text"]
+    assert "123-45-6789" not in got[6]["redacted_text"]
+    assert got[7]["n_credit_card"] == 1
+    assert got[7]["redacted_text"] == "card <CREDIT_CARD> exp 12/28"
+    assert got[8]["n_credit_card"] == 2
+    assert got[8]["redacted_text"] == "pay <CREDIT_CARD> or " \
+                                      "<CREDIT_CARD> now"
+    # Luhn-invalid 16-digit run: counted 0, text untouched
+    assert got[9]["n_credit_card"] == 0
+    assert got[9]["redacted_text"] == rows[8][1]
 
     # cross-engine twin: identical counts + redacted text in DuckDB
+    # (the SAME SQL the driver runs — pii_stats_sql over a view)
     sf_docs = (
         spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
         .select((F.col("doc_id").cast("long") + 1_000_000).alias("doc_id"),
@@ -267,17 +286,9 @@ def test_pii_redaction(spark):
         "doc_id", ignore_index=True)
     con = duckdb.connect()
     con.register("docs_in", both.toPandas())
-    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
-    duck_pdf = con.sql(f"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '{e}')) AS n_email,
-               len(regexp_extract_all(text, '{i}')) AS n_ipv4,
-               len(regexp_extract_all(text, '{p}')) AS n_phone,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '{e}', '<EMAIL>', 'g'),
-                   '{i}', '<IPV4>', 'g'),
-                   '{p}', '<PHONE>', 'g') AS redacted_text
-        FROM docs_in ORDER BY doc_id
-    """).df()
-    for col in ["n_email", "n_ipv4", "n_phone", "redacted_text"]:
+    duck_pdf = con.sql(
+        pii_stats_sql(table="docs_in") + " ORDER BY doc_id"
+    ).df()
+    for col in ["n_email", "n_ipv4", "n_phone", "n_ssn",
+                "n_credit_card", "redacted_text"]:
         assert list(spark_pdf[col]) == list(duck_pdf[col]), col
