@@ -53,11 +53,22 @@ def _host_bw_gbps(n: int = 8, dur: float = 2.0):
     Recorded before and after the suite so a degraded host window is
     self-evident IN the artifact (r5's in-artifact regression was
     cleared only by out-of-band reruns). Healthy ≈ 30-80 GB/s at 8
-    workers; collapse bursts measured as low as 0.14 GB/s."""
+    workers.
+
+    Warm-then-measure (r7): the FIRST memory sweep after the VM sits
+    idle pays a first-touch page-fault tax — measured on this box as a
+    2 s probe taking ~20 s wall and reading 0.4-1 GB/s, with the
+    immediately repeated probe reading 60-68 GB/s. A single cold probe
+    therefore reports the fault path, not streaming bandwidth (this
+    contaminated the r6 'collapse' readings). One 0.5 s throwaway
+    sweep first, then best-of-2 measured probes."""
     try:
         from host_controls import run_level
 
-        return round(run_level("bw", n, dur) / 1e9, 2)
+        run_level("bw", n, 0.5)  # absorb the first-touch fault tax
+        return round(
+            max(run_level("bw", n, dur) for _ in range(2)) / 1e9, 2
+        )
     except Exception:
         return None
 

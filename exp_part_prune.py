@@ -15,8 +15,12 @@ hot term's postings necessarily live in every part, so mixed queries
 correctly scan them all. The workload is therefore two-rare-term
 queries (each zsel term has df=20, confined to 1-2 parts).
 
-Run:  python exp_part_prune.py    (prints one JSON line)
+Run:  python exp_part_prune.py [--shard-size 2000]  (one JSON line)
+      --shard-size 250 builds ~512 parts (r7: the scale where the
+      per-part fan-out should clear the local noise floor even with
+      warm footers — VERDICT r6 #3)
 """
+import argparse
 import json
 import shutil
 import statistics
@@ -36,10 +40,15 @@ def host_bw():
     try:
         from host_controls import run_level
 
-        return round(run_level("bw", 8, 2.0) / 1e9, 2)
+        run_level("bw", 8, 0.5)  # warm: first-touch fault tax (bench.py)
+        return round(max(run_level("bw", 8, 2.0) for _ in range(2)) / 1e9, 2)
     except Exception:
         return None
 
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--shard-size", type=int, default=2_000)
+args = ap.parse_args()
 
 spark = get_spark(app_name="part_prune_ab", cores="32")
 
@@ -58,8 +67,9 @@ out = {"bw_before": host_bw()}
 idx = tempfile.mkdtemp(prefix="prune_ab_idx_")
 try:
     t0 = time.time()
-    meta = build_index(docs, idx, shard_size=2_000, salt_chunk=50_000,
-                       shards_per_part=1)
+    meta = build_index(docs, idx, shard_size=args.shard_size,
+                       salt_chunk=50_000, shards_per_part=1)
+    out["shard_size"] = args.shard_size
     out["build_seconds"] = round(time.time() - t0, 1)
     out["n_parts"] = meta["n_parts"]
     out["n_docs"] = meta["n_docs"]
