@@ -16,9 +16,15 @@ Components:
                        (sf0.1) so the encoder's posting-group scaling
                        is regression-gated in the artifact (the
                        transcript vocabulary is only 44 words)
+    build_bigshard   — the same corpus at shard_size=130k, the geometry
+                       where block-max pruning pays (VERDICT r6 #3)
     query_taat_p50 / query_bmw_p50 / *_selective_p50 / query_warm_p50
                      — p50 single-query latency over the built index
     query_batch      — all 120 fixture queries in ONE batched job
+    batch_selective_{taat,bmw}_bigshard
+                     — 120 selective queries (rare term + hot terms)
+                       on the big-shard index, one job each: the BMW
+                       separation row (bmw_selective_batch_speedup)
     bm25_relational  — inline relational BM25 top-k over the driver's
                        documents.parquet (no prebuilt index)
 
@@ -175,6 +181,24 @@ def main() -> None:
         # beat TAAT on at least one measured workload)
         sel_queries = [f"zsel{i:02d} spark index engine" for i in range(10)]
 
+        # --- big-shard index: the geometry where BMW pays (VERDICT r6
+        # #3, measured by exp_bmw_kernel.py) ---
+        # At the default 10k-doc shards the vectorized TAAT accumulate
+        # beats BMW's cell bookkeeping (short lists); at 130k-doc
+        # shards a selective query's kernel is ~5× cheaper under BMW
+        # (the rare term confines candidates, the hot 126k-entry lists
+        # get block-skipped) and a 120-query batch — where the job
+        # floor is amortized — separates end-to-end. These two rows
+        # put that separation in the per-round artifact.
+        bs_dir = tempfile.mkdtemp(prefix="oboyu_bench_bs_")
+        t0 = time.time()
+        build_index(docs, bs_dir, shard_size=130_000, salt_chunk=500_000,
+                    shards_per_part=16)
+        timings["build_bigshard"] = round(time.time() - t0, 3)
+        reader_bs = IndexReader(spark, bs_dir)
+        sel_batch = [f"zsel{i % 20:02d} spark index engine"
+                     for i in range(120)]
+
         reader = IndexReader(spark, idx_dir)
         ddocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -238,7 +262,19 @@ def main() -> None:
             bm25_search(ddocs, "spark query join table", k=20).collect()
             return time.time() - t1
 
+        def run_batch_sel_taat():
+            t1 = time.time()
+            reader_bs.search(sel_batch, k=10, scorer="taat").count()
+            return time.time() - t1
+
+        def run_batch_sel_bmw():
+            t1 = time.time()
+            reader_bs.search(sel_batch, k=10, scorer="bmw").count()
+            return time.time() - t1
+
         components.append(("query_batch", run_batch))
+        components.append(("batch_selective_taat_bigshard", run_batch_sel_taat))
+        components.append(("batch_selective_bmw_bigshard", run_batch_sel_bmw))
         components.append(("bm25_relational", run_relational))
 
         # warmup: JIT + parquet footer caches, outside any timed rep
@@ -250,6 +286,8 @@ def main() -> None:
             run_warm(q)
             run_hybrid(q)
         run_relational()
+        reader_bs.search(sel_batch[:10], k=10, scorer="taat").count()
+        reader_bs.search(sel_batch[:10], k=10, scorer="bmw").count()
 
         reps: dict[str, list[float]] = {name: [] for name, _ in components}
         for r in range(REPS):
@@ -271,7 +309,13 @@ def main() -> None:
         extras["batch_queries_per_sec"] = round(
             len(queries) / timings["query_batch"], 2
         )
+        extras["bmw_selective_batch_speedup"] = round(
+            timings["batch_selective_taat_bigshard"]
+            / timings["batch_selective_bmw_bigshard"], 2
+        )
         reader.close()
+        reader_bs.close()
+        shutil.rmtree(bs_dir, ignore_errors=True)
         ivf.close()
         shutil.rmtree(ivf_dir, ignore_errors=True)
     finally:

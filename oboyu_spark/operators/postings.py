@@ -738,16 +738,43 @@ def finalize_index(
 ) -> dict:
     """Merge vocab partials, compute collection stats, write meta."""
     vocab_schema = (
-        "th1 long, th2 long, document_frequency long, collection_frequency long"
+        "th1 long, th2 long, document_frequency long, "
+        "collection_frequency long, bparts array<int>"
     )
     if os.path.isdir(f"{index_dir}/vocab_parts"):
+        # bparts (r7): the merged vocabulary CARRIES each term's
+        # containing-part list, so the query-side df lookup is ONE
+        # range-sorted table scan instead of a fan-out over every
+        # vocab_parts partial — at 505 parts the partial fan-out alone
+        # cost ~4.5 s/cold query (exp_part_prune), at 10⁴ parts it IS
+        # the latency floor. Hot terms present in more parts than
+        # PART_PRUNE_MAX_PER_TERM store NULL (they prune nothing and
+        # their full lists would make the vocabulary O(vocab·parts)).
+        # Consistency: every mutation path (build/append/sync/compact)
+        # ends in finalize_index, so the merged list can never go
+        # stale ahead of the postings layout; delete_docs only
+        # tombstones (pruning stays correct, merely looser).
+        from .searchidx import PART_PRUNE_MAX_PER_TERM as _CAP
+
+        nparts = max(4, int(spark.sparkContext.defaultParallelism) // 4)
         vocab = (
             spark.read.parquet(f"{index_dir}/vocab_parts")
             .groupBy("th1", "th2")
             .agg(
                 F.sum("df").alias("document_frequency"),
                 F.sum("cf").alias("collection_frequency"),
+                F.sort_array(F.collect_set(F.col("bpart").cast("int")))
+                .alias("ba"),
             )
+            .withColumn(
+                "bparts",
+                F.when(F.size("ba") <= F.lit(_CAP), F.col("ba")),
+            )
+            .drop("ba")
+            # th1-range-sorted files → the lookup's In(th1) filter
+            # row-group-prunes the merged table too
+            .repartitionByRange(nparts, "th1")
+            .sortWithinPartitions("th1", "th2")
         )
     else:
         vocab = spark.createDataFrame([], vocab_schema)

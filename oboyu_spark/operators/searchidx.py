@@ -274,11 +274,13 @@ class IndexReader:
             "vocabulary": spark.read.parquet(f"{index_dir}/vocabulary"),
             "docmap": spark.read.parquet(f"{index_dir}/docmap"),
         }
-        if os.path.isdir(f"{index_dir}/vocab_parts"):
-            # per-part partials: the df lookup reads these instead of
-            # the merged vocabulary (same dfs, summed) so every lookup
-            # also learns which bparts contain each term — the input
-            # to part-level postings pruning
+        if ("bparts" not in self._dfs["vocabulary"].columns
+                and os.path.isdir(f"{index_dir}/vocab_parts")):
+            # r6-layout index (merged vocabulary without the bparts
+            # column): the df lookup reads the per-part partials so it
+            # also learns which bparts contain each term. r7 indexes
+            # carry bparts IN the merged vocabulary — one table serves
+            # df + pruning, and the partials need not be persisted.
             self._dfs["vocab_parts"] = spark.read.parquet(
                 f"{index_dir}/vocab_parts"
             )
@@ -443,7 +445,27 @@ def _search(
         hash_df = spark.createDataFrame(missing, "th1 long, th2 long")
         vp = vocab_parts_table()
         miss_h1 = sorted({h1 for h1, _ in missing})
-        if vp is not None:
+        vt = table("vocabulary")
+        if "bparts" in vt.columns:
+            # r7 fast path: the merged vocabulary carries each term's
+            # (capped) containing-part list, written at finalize — ONE
+            # th1-range-sorted table scan serves df AND the pruning
+            # input, instead of fanning out over every vocab_parts
+            # partial (at 505 parts that fan-out alone cost ~4.5 s per
+            # cold query; at 10⁴ parts it is the latency floor)
+            vocab = (
+                vt.filter(F.col("th1").isin(miss_h1))
+                .join(F.broadcast(hash_df), ["th1", "th2"])
+                .collect()
+            )
+            found = {}
+            for r in vocab:
+                parts = (None if r["bparts"] is None
+                         else tuple(int(p) for p in r["bparts"]))
+                found[(r["th1"], r["th2"])] = (
+                    int(r["document_frequency"]), parts
+                )
+        elif vp is not None:
             vocab = (
                 # the In(th1) filter is PUSHED to the scan (partials
                 # are th1-sorted within files → row-group pruning);

@@ -162,20 +162,49 @@ def test_conjunctive_mode(spark, corpus, index_dir):
 
 def test_search_legacy_layout_without_vocab_parts(spark, corpus,
                                                   index_dir, tmp_path):
-    """An index dir without vocab_parts (legacy layout / hand-pruned
-    copy) must still search correctly through the merged-vocabulary
-    fallback — it just loses part-level pruning, and search_rows
-    matches the DataFrame path on both layouts."""
+    """The three df-lookup layouts must all search identically:
+    r7 (merged vocabulary CARRIES bparts — pruning works even with
+    vocab_parts deleted), r6 (vocabulary without bparts + vocab_parts
+    partials — pruning via the partial fan-out), and true legacy
+    (neither — merged-vocabulary fallback, no pruning); search_rows
+    matches the DataFrame path on the legacy layout."""
     import shutil
 
     from oboyu_spark.operators.searchidx import IndexReader, _LAST_SCAN_INFO
 
+    def _strip_bparts(d):
+        voc = spark.read.parquet(f"{d}/vocabulary").drop("bparts")
+        tmpv = f"{d}/vocabulary_tmp"
+        voc.write.parquet(tmpv)
+        shutil.rmtree(f"{d}/vocabulary")
+        shutil.move(tmpv, f"{d}/vocabulary")
+
+    # r7 layout minus the partials: pruning info survives in the
+    # merged vocabulary
+    nopartials = str(tmp_path / "nopartials_idx")
+    shutil.copytree(index_dir, nopartials)
+    shutil.rmtree(f"{nopartials}/vocab_parts")
+    # r6 layout: partials present, merged vocabulary without bparts
+    r6style = str(tmp_path / "r6_idx")
+    shutil.copytree(index_dir, r6style)
+    _strip_bparts(r6style)
+    # true legacy: neither source of part info
     legacy = str(tmp_path / "legacy_idx")
-    shutil.copytree(index_dir, legacy)
-    shutil.rmtree(f"{legacy}/vocab_parts")
+    shutil.copytree(nopartials, legacy)
+    _strip_bparts(legacy)
+
     for q in ["spark index", "検索 索引"]:
         exp = [(r["doc_id"], r["score"])
                for r in search_index(spark, index_dir, q, k=8).collect()]
+        base_parts = _LAST_SCAN_INFO["live_parts"]
+        got = [(r["doc_id"], r["score"])
+               for r in search_index(spark, nopartials, q, k=8).collect()]
+        assert got == exp, q
+        assert _LAST_SCAN_INFO["live_parts"] == base_parts  # still prunes
+        got = [(r["doc_id"], r["score"])
+               for r in search_index(spark, r6style, q, k=8).collect()]
+        assert got == exp, q
+        assert _LAST_SCAN_INFO["live_parts"] == base_parts
         got = [(r["doc_id"], r["score"])
                for r in search_index(spark, legacy, q, k=8).collect()]
         assert got == exp, q
