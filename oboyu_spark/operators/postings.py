@@ -831,6 +831,13 @@ def finalize_index(
         "min_token_length": min_token_length,
         "shard_size": shard_size,
         "salt_chunk": salt_chunk,
+        # doc_int // (shard_size * shards_per_part) == bpart by
+        # construction (staging assigns dense ids in part order) — the
+        # query side derives docmap PARTITION filters from winner ids
+        "shards_per_part": (
+            _spp(index_dir)
+            if os.path.exists(f"{index_dir}/staged.json") else None
+        ),
         "n_docs": n_docs,
         "total_terms": total_terms,
         "avgdl": avgdl,

@@ -90,6 +90,25 @@ class _ThreadLocalScanInfo(threading.local):
 _LAST_SCAN_INFO = _ThreadLocalScanInfo()
 
 
+def _docmap_for_ids(dm: DataFrame, meta: dict, ids: Sequence[int]) -> DataFrame:
+    """Docmap rows for specific winner doc_ints, PARTITION-pruned:
+    doc_int // (shard_size · shards_per_part) == bpart by construction
+    (staging assigns dense ids in part order, appends continue the
+    sequence, compaction preserves survivor ids), so the winners' few
+    containing parts become a bpart directory filter — at 10⁴ parts
+    this skips 10⁴−ε footer reads per hydration; the In(doc_int)
+    filter then row-group-prunes inside them. Pre-r7 indexes (no
+    shards_per_part in meta) keep the plain id filter."""
+    dm = dm.filter(F.col("doc_int").isin(list(ids)))
+    spp = meta.get("shards_per_part")
+    if spp:
+        part_docs = int(meta["shard_size"]) * int(spp)
+        dm = dm.filter(F.col("bpart").isin(
+            sorted({int(i) // part_docs for i in ids})
+        ))
+    return dm
+
+
 def _query_maps(queries: Sequence[str], min_token_length: int):
     """qid -> [(term, qtf)], and the union term set."""
     qmap: dict[int, list[tuple[str, int]]] = {}
@@ -607,8 +626,7 @@ def _search(
         fetched: dict[int, str] = {}
         if miss:
             rows = (
-                table("docmap")
-                .filter(F.col("doc_int").isin(miss))
+                _docmap_for_ids(table("docmap"), meta, miss)
                 .select("doc_int", "doc_id")
                 .collect()
             )
@@ -655,11 +673,8 @@ def _search(
          for r in top_rows],
         "query_id int, doc_int long, score double",
     )
-    docmap = (
-        table("docmap")
-        .filter(F.col("doc_int").isin(ids))
+    docmap = _docmap_for_ids(table("docmap"), meta, ids) \
         .select("doc_int", "doc_id")
-    )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -120,6 +120,40 @@ def test_search_prunes_parts_by_term(spark, tmp_path):
     assert SI._LAST_SCAN_INFO["live_parts"] == [0, 1, 2]
 
 
+def test_docmap_hydration_prunes_partitions(spark, tmp_path):
+    """r7: winner hydration derives the docmap PARTITION filter from
+    doc_int // part_docs (dense ids are assigned in part order), so
+    only the winners' bpart directories are listed/read — at 10⁴ parts
+    the per-query docmap footer fan-out disappears. Pinned: the
+    derived filter lands in PartitionFilters, only the winner's part's
+    files are touched, and the rows match the plain id filter."""
+    import re
+
+    from oboyu_spark.operators.postings import load_meta
+    from oboyu_spark.operators.searchidx import _docmap_for_ids
+
+    d = str(tmp_path / "dmidx")
+    rows = [(i, f"word{i} common text here") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(docs, d, shard_size=50, shards_per_part=2,
+                id_assign_partitions=4)
+    meta = load_meta(d)
+    assert meta.get("shards_per_part") == 2
+    dm = spark.read.parquet(f"{d}/docmap")
+    pruned = _docmap_for_ids(dm, meta, [250, 260])
+    plan = _plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bpart" in m.group(1), plan
+    files = {r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()}
+    touched = {int(re.search(r"bpart=(\d+)", f).group(1)) for f in files}
+    assert touched == {2}
+    got = sorted(r["doc_int"] for r in pruned.collect())
+    exp = sorted(r["doc_int"] for r in
+                 dm.filter(F.col("doc_int").isin([250, 260])).collect())
+    assert got == exp and len(got) == 2
+
+
 def test_quality_filter_is_scan_fused_predicate(spark, tmp_path):
     """prepare_corpus's quality stage must be a column predicate fused
     into the scan stage — no Exchange (shuffle) and no python UDF
