@@ -90,22 +90,42 @@ class _ThreadLocalScanInfo(threading.local):
 _LAST_SCAN_INFO = _ThreadLocalScanInfo()
 
 
-def _docmap_for_ids(dm: DataFrame, meta: dict, ids: Sequence[int]) -> DataFrame:
+def _docmap_for_ids(
+    dm: DataFrame | None,
+    meta: dict,
+    ids: Sequence[int],
+    spark: SparkSession | None = None,
+    index_dir: str | None = None,
+) -> DataFrame:
     """Docmap rows for specific winner doc_ints, PARTITION-pruned:
     doc_int // (shard_size · shards_per_part) == bpart by construction
     (staging assigns dense ids in part order, appends continue the
     sequence, compaction preserves survivor ids), so the winners' few
     containing parts become a bpart directory filter — at 10⁴ parts
     this skips 10⁴−ε footer reads per hydration; the In(doc_int)
-    filter then row-group-prunes inside them. Pre-r7 indexes (no
+    filter then row-group-prunes inside them. Pass ``dm=None`` (with
+    ``spark``/``index_dir``) on the one-shot path: the relation is
+    then built from ONLY the containing bpart directories, skipping
+    root partition discovery too (a root read lists every directory
+    before PartitionFilters apply). Pre-r7 indexes (no
     shards_per_part in meta) keep the plain id filter."""
-    dm = dm.filter(F.col("doc_int").isin(list(ids)))
     spp = meta.get("shards_per_part")
-    if spp:
-        part_docs = int(meta["shard_size"]) * int(spp)
-        dm = dm.filter(F.col("bpart").isin(
-            sorted({int(i) // part_docs for i in ids})
-        ))
+    parts = (
+        sorted({int(i) // (int(meta["shard_size"]) * int(spp))
+                for i in ids})
+        if spp else None
+    )
+    if dm is None:
+        if parts is not None:
+            return spark.read.option(
+                "basePath", f"{index_dir}/docmap"
+            ).parquet(
+                *[f"{index_dir}/docmap/bpart={p}" for p in parts]
+            ).filter(F.col("doc_int").isin(list(ids)))
+        dm = spark.read.parquet(f"{index_dir}/docmap")
+    dm = dm.filter(F.col("doc_int").isin(list(ids)))
+    if parts is not None:
+        dm = dm.filter(F.col("bpart").isin(parts))
     return dm
 
 
@@ -573,9 +593,27 @@ def _search(
     if all(ps is not None for ps in part_sets):
         live_parts = sorted(set().union(*part_sets))
         if len(live_parts) <= PART_PRUNE_MAX_UNION:
-            postings = postings.filter(
-                F.col("bpart").isin([int(p) for p in live_parts])
-            )
+            if dfs is None:
+                # one-shot path (r7): build the relation from the live
+                # bpart directories EXPLICITLY instead of filtering a
+                # root read — root relation creation LISTS every
+                # partition directory before PartitionFilters apply
+                # (measured ~1 s at 505 local parts, and a per-query
+                # 10⁴-prefix listing on an object store), all of it for
+                # directories the filter then discards. A warm
+                # IndexReader amortizes discovery in its persisted
+                # relations; this gives the cold path the same
+                # locality.
+                postings = spark.read.option(
+                    "basePath", f"{index_dir}/postings"
+                ).parquet(*[
+                    f"{index_dir}/postings/bpart={int(p)}"
+                    for p in live_parts
+                ]).filter(F.col("th1").isin(live_h1))
+            else:
+                postings = postings.filter(
+                    F.col("bpart").isin([int(p) for p in live_parts])
+                )
             _LAST_SCAN_INFO["live_parts"] = live_parts
 
     from .postings import load_tombstones
@@ -626,7 +664,10 @@ def _search(
         fetched: dict[int, str] = {}
         if miss:
             rows = (
-                _docmap_for_ids(table("docmap"), meta, miss)
+                _docmap_for_ids(
+                    dfs["docmap"] if dfs is not None else None, meta,
+                    miss, spark=spark, index_dir=index_dir,
+                )
                 .select("doc_int", "doc_id")
                 .collect()
             )
@@ -673,8 +714,10 @@ def _search(
          for r in top_rows],
         "query_id int, doc_int long, score double",
     )
-    docmap = _docmap_for_ids(table("docmap"), meta, ids) \
-        .select("doc_int", "doc_id")
+    docmap = _docmap_for_ids(
+        dfs["docmap"] if dfs is not None else None, meta, ids,
+        spark=spark, index_dir=index_dir,
+    ).select("doc_int", "doc_id")
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
