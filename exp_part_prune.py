@@ -48,6 +48,10 @@ def host_bw():
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--shard-size", type=int, default=2_000)
+ap.add_argument("--keep-dir",
+                help="build (or reuse) the index at this fixed path "
+                     "instead of a throwaway tempdir — a 505-part "
+                     "build takes ~10 min, the A/B seconds")
 args = ap.parse_args()
 
 spark = get_spark(app_name="part_prune_ab", cores="32")
@@ -64,13 +68,20 @@ rare = spark.range(400).select(
 docs = docs.unionByName(rare)
 
 out = {"bw_before": host_bw()}
-idx = tempfile.mkdtemp(prefix="prune_ab_idx_")
+idx = args.keep_dir or tempfile.mkdtemp(prefix="prune_ab_idx_")
 try:
-    t0 = time.time()
-    meta = build_index(docs, idx, shard_size=args.shard_size,
-                       salt_chunk=50_000, shards_per_part=1)
+    import os
+
+    from oboyu_spark.operators.postings import load_meta
+
     out["shard_size"] = args.shard_size
-    out["build_seconds"] = round(time.time() - t0, 1)
+    if os.path.exists(f"{idx}/stats/meta.json"):
+        meta = load_meta(idx)  # reuse kept index, skip the build
+    else:
+        t0 = time.time()
+        meta = build_index(docs, idx, shard_size=args.shard_size,
+                           salt_chunk=50_000, shards_per_part=1)
+        out["build_seconds"] = round(time.time() - t0, 1)
     out["n_parts"] = meta["n_parts"]
     out["n_docs"] = meta["n_docs"]
 
@@ -102,8 +113,25 @@ try:
     out["p50_prune_on"] = min(reps["prune_on"])
     out["p50_prune_off"] = min(reps["prune_off"])
     out["speedup"] = round(out["p50_prune_off"] / out["p50_prune_on"], 2)
+
+    # warm serving over the same many-part index (persisted relations
+    # amortize discovery; caches amortize lookups) — the deployment
+    # answer to the cold one-shot floor measured above
+    from oboyu_spark.operators.searchidx import IndexReader
+
+    reader = IndexReader(spark, idx)
+    for q in queries[:3]:
+        reader.search_rows(q, k=10)
+    lat = []
+    for q in queries:
+        t1 = time.time()
+        reader.search_rows(q, k=10)
+        lat.append(time.time() - t1)
+    out["warm_reader_p50"] = round(statistics.median(lat), 4)
+    reader.close()
 finally:
-    shutil.rmtree(idx, ignore_errors=True)
+    if not args.keep_dir:
+        shutil.rmtree(idx, ignore_errors=True)
 
 out["bw_after"] = host_bw()
 print(json.dumps(out))
