@@ -566,11 +566,27 @@ def ivf_search(
     nprobe / n_lists by construction, verified by a plan-shape test."""
     from .dedup import _recover_swap
 
+    import os
+
     _recover_swap(index_dir, "lists")
     meta = ivf_load_sidecar(index_dir)
     probes = _probe_lists(meta["centroids"], query_vec, nprobe,
                           quantize=meta["quantize"])
-    lists = spark.read.parquet(f"{index_dir}/lists")
+    # one-shot locality (r7, same treatment as the BM25 index): build
+    # the relation from ONLY the probed list_id= directories — a root
+    # read lists every partition directory before PartitionFilters
+    # apply (at 10⁴ lists that is 10⁴ prefix listings per query on an
+    # object store). Empty lists write no directory; missing probes
+    # just drop out. The isin filter stays (it carries the
+    # PartitionFilters plan pin and guards basePath edge cases); a
+    # warm IvfReader keeps its persisted root relation instead.
+    base = f"{index_dir}/lists"
+    paths = [p for p in (f"{base}/list_id={int(x)}" for x in probes)
+             if os.path.isdir(p)]
+    if paths:
+        lists = spark.read.option("basePath", base).parquet(*paths)
+    else:
+        lists = spark.read.parquet(base)
     cand = _mask_tombstones(
         lists.filter(F.col("list_id").isin(probes)).select(
             "vec_id", "embedding"
