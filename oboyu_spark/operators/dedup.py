@@ -618,9 +618,16 @@ def span_filter_and_append(
     streaming-dedup standard): across micro-batches the FIRST-ARRIVED
     occurrence survives, while ``drop_duplicated_spans`` keeps the
     first by (doc_id, pos) — the survivor differs exactly when a
-    lower-id copy arrives later (token sets equal, owner differs).
-    When arrival order follows (doc_id, pos) order the two match
-    (pinned by test_streaming).
+    lower-id copy arrives later (token sets equal, owner differs), and
+    on no other doc; both rules keep every duplicated span exactly
+    once (pinned by test_streaming::
+    test_streaming_span_divergence_is_exactly_out_of_order). An
+    id-ordered RECONCILIATION pass cannot close this: the late
+    lower-id copy was stripped on arrival, so its span tokens exist
+    nowhere downstream to restore — demoting the arrival-first
+    survivor would delete the corpus's last copy of the span. The
+    divergence is therefore inherent to one-pass streaming, not a
+    missing compaction.
 
     Replay-deterministic: the lookup reads ONLY committed store
     batches with ordinal < ``batch_id``, so a replay after a crash

@@ -32,8 +32,16 @@ explicit salting, checkpoint-resume with per-partition lineage):
           and ↓ in dl, so the bound stays valid when collection stats
           drift under incremental appends)
       vocab_parts/bpart=P/         per-partition (th1, th2, df, cf)
-      vocabulary/                  global merge of the partials
-      docmap/bpart=P/              (doc_id, doc_int, dl)
+      vocabulary/                  global merge of the partials; since
+                                   r7 th1-range-sorted and carrying
+                                   each term's containing-part list
+                                   (bparts array<int>, NULL above
+                                   PART_PRUNE_MAX_PER_TERM) — one
+                                   table serves the query-side df
+                                   lookup AND the part-pruning input
+      docmap/bpart=P/              (doc_id, doc_int, dl); winner
+                                   hydration partition-prunes it via
+                                   doc_int // part_docs == bpart
       tombstones/                  deleted doc_ints (applied at decode;
                                    compact() rewrites affected parts)
       manifest/part-P.json         per-partition lineage: input

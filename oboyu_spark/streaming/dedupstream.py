@@ -88,13 +88,14 @@ NEAR_DROP_ISIN_MAX = 10_000
 
 def _curation_gates(stream: DataFrame, min_quality: float | None,
                     max_dup_line_frac: float | None,
-                    max_top_bigram_frac: float | None) -> DataFrame:
-    """The stateless curation predicates (quality + repetition), fused
-    into the stream's scan BEFORE the stateful dedup — junk never
-    enters (or evicts useful entries from) the fingerprint state. Same
-    expressions as the batch pipeline's gates."""
+                    max_top_bigram_frac: float | None,
+                    max_pii_count: int | None = None) -> DataFrame:
+    """The stateless curation predicates (quality + repetition + PII
+    density), fused into the stream's scan BEFORE the stateful dedup —
+    junk never enters (or evicts useful entries from) the fingerprint
+    state. Same expressions as the batch pipeline's gates."""
     from ..operators.textstats import (
-        dup_line_frac, quality_score, top_bigram_frac,
+        dup_line_frac, pii_match_count, quality_score, top_bigram_frac,
     )
 
     if min_quality is not None:
@@ -106,6 +107,13 @@ def _curation_gates(stream: DataFrame, min_quality: float | None,
     if max_top_bigram_frac is not None:
         stream = stream.filter(
             top_bigram_frac(F.col("text")) <= max_top_bigram_frac
+        )
+    if max_pii_count is not None:
+        # PII density gate (r7, batch parity): counted on the ORIGINAL
+        # text — the scrub, when enabled, rewrites later (post-dedup,
+        # like the batch pipeline)
+        stream = stream.filter(
+            pii_match_count(F.col("text")) <= max_pii_count
         )
     return stream
 
@@ -261,6 +269,8 @@ def curate_and_index_stream(
     bands: int = 8,
     span_n: int | None = None,
     span_dir: str | None = None,
+    max_pii_count: int | None = None,
+    pii_kinds: "tuple[str, ...] | None" = None,
 ):
     """ONE stream from raw documents to a live BM25 index: quality gate
     (stateless, fused before the state store) → stateful exact dedup →
@@ -292,9 +302,20 @@ def curate_and_index_stream(
         raise ValueError("span_n and span_dir must be set together")
     stream = spark.readStream.schema(schema).parquet(input_dir)
     stream = _curation_gates(stream, min_quality, max_dup_line_frac,
-                             max_top_bigram_frac)
+                             max_top_bigram_frac, max_pii_count)
     survivors = dedup_stream_frame(stream, watermark=watermark) \
         .select("doc_id", "text")
+    if pii_kinds is not None:
+        # PII scrub (r7, batch parity): rewrite AFTER the stateful
+        # dedup so fingerprints see the original text; the indexed
+        # text is the masked one. Note the span store, when enabled,
+        # then hashes MASKED token streams — consistent within one
+        # stream, same caveat as mixing raw/pretokenized index builds.
+        from ..operators.textstats import redact_pii
+
+        survivors = survivors.select(
+            "doc_id", redact_pii(F.col("text"), pii_kinds).alias("text")
+        )
     handler = handle_batch_factory(index_dir)
     if near_threshold is not None:
         handler = _near_dedup_handler(handler, index_dir, minhash_dir,
@@ -321,6 +342,8 @@ def prepare_stream(
     min_quality: float | None = 0.3,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    max_pii_count: int | None = None,
+    pii_kinds: "tuple[str, ...] | None" = None,
     watermark: str | None = None,
     schema: str = DOC_SCHEMA,
     trigger_once: bool = True,
@@ -346,8 +369,16 @@ def prepare_stream(
     collisions the two are identical (the parity the tests pin)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     stream = _curation_gates(stream, min_quality, max_dup_line_frac,
-                             max_top_bigram_frac)
+                             max_top_bigram_frac, max_pii_count)
     out = dedup_stream_frame(stream, watermark=watermark)
+    if pii_kinds is not None:
+        # scrub AFTER the stateful dedup (fingerprint column keeps the
+        # ORIGINAL text's hash — batch pipeline semantics, where dedup
+        # sees pre-redaction content)
+        from ..operators.textstats import redact_pii
+
+        out = out.withColumn("text",
+                             redact_pii(F.col("text"), pii_kinds))
     writer = (
         out.writeStream.outputMode("append")
         .format("parquet")

@@ -768,6 +768,51 @@ def test_prepare_stream_repetition_gates(spark, tmp_path):
     assert {r["doc_id"] for r in batch.collect()} == got
 
 
+def test_prepare_stream_pii_gate_and_scrub(spark, tmp_path):
+    """r7 batch parity: max_pii_count drops PII-dense docs in the
+    stream's stateless predicate block (counted on the ORIGINAL text),
+    pii_kinds masks the survivors AFTER the stateful dedup (the
+    fingerprint column keeps the original text's hash — same semantics
+    as the batch pipeline, where dedup sees pre-redaction content)."""
+    from pyspark.sql import functions as F
+
+    from oboyu_spark.operators.pipeline import prepare_corpus
+    from oboyu_spark.operators.textstats import fingerprint_md5
+    from oboyu_spark.streaming.dedupstream import prepare_stream
+
+    inp, outp, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    rows = [
+        ("clean", "a perfectly ordinary document about query engines",
+         "2025-01-01 10:00:00"),
+        ("sparse", "reach us at alice@example.org for spark help",
+         "2025-01-01 10:01:00"),
+        ("dense", "a@b.io c@d.io e@f.io g@h.io contact dump page",
+         "2025-01-01 10:02:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, ts string"
+    ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+    df.write.mode("append").parquet(inp)
+    kw = dict(min_quality=None, max_pii_count=1, pii_kinds=("email",))
+    q = prepare_stream(spark, inp, outp, chk, **kw)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert set(got) == {"clean", "sparse"}  # dense gated on arrival
+    assert got["sparse"]["text"] == \
+        "reach us at <EMAIL> for spark help"
+    # fingerprint = hash of the ORIGINAL text (dedup pre-redaction)
+    orig_fp = df.filter(F.col("doc_id") == "sparse").select(
+        fingerprint_md5(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert got["sparse"]["fingerprint"] == orig_fp
+    # batch twin under the same knobs
+    batch = prepare_corpus(df.select("doc_id", "text"), exact=True,
+                           near_threshold=None, chunk_size=None,
+                           max_pii_count=1, pii_kinds=("email",))["docs"]
+    brows = {r["doc_id"]: r["text"] for r in batch.collect()}
+    assert set(brows) == set(got)
+    assert brows["sparse"] == got["sparse"]["text"]
+
+
 def test_streaming_span_dedup(spark, tmp_path):
     """curate_and_index_stream(span_n=..., span_dir=...): already-seen
     n-token spans are removed from arriving docs before indexing
