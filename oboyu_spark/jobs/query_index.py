@@ -6,7 +6,7 @@
         --index /path/to/index_dir \
         --query "検索 spark index" [--query "..."] \
         [--queries-file queries.txt]  (one query per line) \
-        [--k 10] [--scorer taat|bmw] [--output results.parquet]
+        [--k 10] [--scorer taat|bmw|auto] [--output results.parquet]
 
 Prints one JSON line per (query, rank) to stdout unless --output is
 given, in which case results are written as parquet.
@@ -26,7 +26,8 @@ def main() -> None:
     ap.add_argument("--query", action="append", default=[])
     ap.add_argument("--queries-file")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--scorer", choices=["taat", "bmw"], default="taat")
+    ap.add_argument("--scorer", choices=["taat", "bmw", "auto"],
+                default="taat")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="'and' = posting-list intersection (docs must "
                          "contain every distinct query term)")

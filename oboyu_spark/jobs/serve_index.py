@@ -2,7 +2,7 @@
 
     spark-submit --master local[8] oboyu_spark/jobs/serve_index.py \
         --index /path/to/index_dir [--docs /path/to/documents.parquet] \
-        [--k 10] [--scorer taat|bmw]
+        [--k 10] [--scorer taat|bmw|auto]
 
 The reference serves interactively through its CLI query loop and MCP
 server (src/oboyu/cli/, src/oboyu/mcp/server.py:70-219 — a
@@ -15,7 +15,7 @@ adapter, a socket server, or a shell pipe.
 
 Request line formats:
     a bare query string, or a JSON object
-    {"query": "...", "k": 10, "scorer": "taat"|"bmw",
+    {"query": "...", "k": 10, "scorer": "taat"|"bmw"|"auto",
      "mode": "or"|"and"|"hybrid", "hydrate": true, "rerank": true,
      "k_each": 20, "fusion": "rrf"|"weighted", "nprobe": 4}
 
@@ -243,7 +243,8 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--docs", help="documents parquet for hydrate/rerank")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--scorer", choices=["taat", "bmw"], default="taat")
+    ap.add_argument("--scorer", choices=["taat", "bmw", "auto"],
+                default="taat")
     ap.add_argument("--ivf",
                     help="persisted ivf_build index dir — enables "
                          '{"mode": "hybrid"} requests (BM25 + '

@@ -55,6 +55,16 @@ DRIVER_CUT_MAX_ROWS = 200_000
 PART_PRUNE_MAX_PER_TERM = 4096
 PART_PRUNE_MAX_UNION = 16384
 
+# scorer="auto" cutovers, from the r7 geometry study
+# (exp_bmw_kernel.py / BENCH.md): block-max pruning beats the
+# vectorized TAAT accumulate only when per-shard posting lists are
+# long (big shards) AND some query term is selective enough to lift
+# the top-k threshold above the hot cells — measured 4.9× kernel /
+# 2.46× batch at 130k-doc shards with a df≈0.02% term, and a LOSS
+# (0.6×) at 10k-doc shards or on all-hot queries.
+AUTO_BMW_MIN_SHARD = 64_000
+AUTO_BMW_MAX_DF_FRAC = 0.01
+
 class _ThreadLocalScanInfo(threading.local):
     """Dict-shaped per-THREAD record of the last search's pruning
     decision — which bparts the postings scan was limited to (None =
@@ -622,6 +632,28 @@ def _search(
     tomb = (
         np.array(sorted(tomb_set), dtype=np.int64) if tomb_set else None
     )
+
+    if scorer == "auto" and mode != "and":
+        # geometry-driven choice (r7, exp_bmw_kernel.py / BENCH.md):
+        # BMW only where it measured faster — big shards (long
+        # per-shard lists) AND every query selective (one scorer runs
+        # the whole batch, so each query's most-selective present term
+        # must clear the df cut; a mixed batch keeps TAAT, the safe
+        # default). Exact either way — the scorers are pinned
+        # rank-identical.
+        worst = 0.0
+        for qterms in qmap.values():
+            dfs_q = [df_by_hash[h] for h, _ in qterms
+                     if df_by_hash.get(h) is not None]
+            if dfs_q:
+                worst = max(worst, min(dfs_q) / max(n_docs, 1))
+        scorer = (
+            "bmw"
+            if (shard_size >= AUTO_BMW_MIN_SHARD
+                and 0.0 < worst <= AUTO_BMW_MAX_DF_FRAC)
+            else "taat"
+        )
+        _LAST_SCAN_INFO["auto_scorer"] = scorer
 
     if mode == "and":
         # intersection needs per-doc matched-term counts → TAAT

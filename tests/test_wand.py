@@ -101,3 +101,54 @@ def test_bmw_unit_against_bruteforce():
         assert [d for d, _ in got] == [d for d, _ in expected], f"trial {trial}"
         for (_, gs), (_, es) in zip(got, expected):
             assert gs == pytest.approx(es, rel=1e-12)
+
+
+def test_auto_scorer_picks_by_geometry(spark, tmp_path):
+    """scorer="auto" (r7): BMW only on big shards with a uniformly
+    selective batch (the measured win regime — exp_bmw_kernel.py);
+    small shards or hot queries keep TAAT. Results identical to both
+    explicit scorers either way, and mode="and" stays on the TAAT
+    intersection path."""
+    from oboyu_spark.operators import searchidx as SI
+    from oboyu_spark.operators.postings import build_index
+    from oboyu_spark.operators.searchidx import search_index
+
+    rows = [(i, "common words shared by every document here "
+             + ("rareterm " if i == 77 else "filler pad ") * 3)
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    small = str(tmp_path / "small")   # 50-doc shards -> TAAT regime
+    build_index(docs, small, shard_size=50, shards_per_part=2,
+                id_assign_partitions=4)
+    big = str(tmp_path / "big")       # one 300-doc shard, forced into
+    build_index(docs, big, shard_size=300, shards_per_part=2,
+                id_assign_partitions=4)
+
+    import oboyu_spark.operators.searchidx as S
+
+    # the shard-size cut is an absolute doc count; scale it down so the
+    # tiny fixture exercises both sides of the rule
+    old = S.AUTO_BMW_MIN_SHARD
+    S.AUTO_BMW_MIN_SHARD = 300
+    try:
+        res = search_index(spark, big, "rareterm common", k=5,
+                           scorer="auto").collect()
+        assert SI._LAST_SCAN_INFO["auto_scorer"] == "bmw"
+        exp = search_index(spark, big, "rareterm common", k=5,
+                           scorer="taat").collect()
+        assert [(r.doc_id, round(r.score, 9)) for r in res] == \
+               [(r.doc_id, round(r.score, 9)) for r in exp]
+        # hot query (no selective term) -> TAAT even on big shards
+        search_index(spark, big, "common filler", k=5,
+                     scorer="auto").collect()
+        assert SI._LAST_SCAN_INFO["auto_scorer"] == "taat"
+        # small shards -> TAAT even for the selective query
+        search_index(spark, small, "rareterm common", k=5,
+                     scorer="auto").collect()
+        assert SI._LAST_SCAN_INFO["auto_scorer"] == "taat"
+        # conjunctive mode bypasses auto (intersection needs TAAT)
+        got = search_index(spark, big, "rareterm common", k=5,
+                           scorer="auto", mode="and").collect()
+        assert [r.doc_id for r in got] == ["77"]
+    finally:
+        S.AUTO_BMW_MIN_SHARD = old
