@@ -82,6 +82,18 @@ shutil.rmtree(d, ignore_errors=True)
 """
 
 
+def _host_bw_gbps():
+    """Warm-then-measure probe (see bench.py `_host_bw_gbps`: the
+    first sweep after idle pays a ~60× first-touch fault tax)."""
+    try:
+        from host_controls import run_level
+
+        run_level("bw", 8, 0.5)
+        return round(max(run_level("bw", 8, 2.0) for _ in range(2)) / 1e9, 2)
+    except Exception:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=2)
@@ -94,6 +106,7 @@ def main() -> None:
     ap.add_argument("--wide-vocab", type=int, default=300_000)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
+    bw_before = _host_bw_gbps()
 
     corpus_path = f"/tmp/scaling_corpus_{args.convs}_{args.words_scale}"
     wide_path = f"/tmp/scaling_widevocab_{args.wide_docs}_{args.wide_vocab}"
@@ -227,7 +240,9 @@ def main() -> None:
     report = {"levels": best, "efficiency": _effs(best),
               "corpus": {"path": corpus_path, "convs": args.convs,
                          "words_scale": args.words_scale},
-              "rounds": args.rounds}
+              "rounds": args.rounds,
+              "host_bw_gbps_before": bw_before,
+              "host_bw_gbps_after": _host_bw_gbps()}
     pbest = {lv: _best(runs[("pretok", lv)])
              for lv in levels if runs[("pretok", lv)]}
     if pbest:
@@ -335,6 +350,10 @@ def _write_bench_md(report: dict) -> None:
                 f"**{eff['query']}**"
             )
     lines += [
+        "",
+        f"Host probes (warm-then-measure, GB/s): before "
+        f"{report.get('host_bw_gbps_before')}, after "
+        f"{report.get('host_bw_gbps_after')} (healthy 30-80).",
         "",
         "Notes: this sandbox is one shared NUMA box — beyond ~8-16 threads the",
         "string-heavy tokenize/aggregate stages saturate memory bandwidth, so",
