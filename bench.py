@@ -272,9 +272,18 @@ def main() -> None:
             reader_bs.search(sel_batch, k=10, scorer="bmw").count()
             return time.time() - t1
 
+        def run_batch_sel_auto():
+            # the product default path for this geometry: auto must
+            # flip to BMW here (selective batch + 130k shard) and the
+            # row should track the explicit-bmw row
+            t1 = time.time()
+            reader_bs.search(sel_batch, k=10, scorer="auto").count()
+            return time.time() - t1
+
         components.append(("query_batch", run_batch))
         components.append(("batch_selective_taat_bigshard", run_batch_sel_taat))
         components.append(("batch_selective_bmw_bigshard", run_batch_sel_bmw))
+        components.append(("batch_selective_auto_bigshard", run_batch_sel_auto))
         components.append(("bm25_relational", run_relational))
 
         # warmup: JIT + parquet footer caches, outside any timed rep
