@@ -109,12 +109,34 @@ def main() -> None:
                                     id_col=args.id_col)
         report["sample_fraction"] = args.sample_fraction
     span_ran_exact = False
+    span_ran_pii = False
     if args.drop_span_dups:
         from pyspark.sql import functions as F
 
         from oboyu_spark.operators.dedup import (
             dedup_exact, drop_duplicated_spans,
         )
+
+        # PII gate + scrub BEFORE the span stage (ADVICE r7, medium):
+        # the span rewrite rebuilds every doc's text from the
+        # lowercased/punct-stripped token stream, so separator-
+        # dependent PII patterns (123-45-6789, 555-123-4567, a@b.c)
+        # no longer match the rewritten text — gating/scrubbing after
+        # it would let PII ship unmasked. The stream already orders
+        # gates → scrub → span (dedupstream.curate_and_index_stream);
+        # this keeps the batch job on the same order. The gate counts
+        # on the TRUE original text; prepare_corpus below must then
+        # skip both stages (span_ran_pii).
+        if args.max_pii_count is not None or args.redact_pii:
+            from oboyu_spark.operators.pipeline import apply_pii_stage
+
+            docs = apply_pii_stage(
+                docs, args.max_pii_count,
+                (tuple(args.redact_pii.split(","))
+                 if args.redact_pii else None),
+                text_col=args.text_col,
+            )
+            span_ran_pii = True
 
         # exact dedup FIRST (ADVICE r6): an exact duplicate with >= N
         # tokens would otherwise have its whole token stream
@@ -154,9 +176,12 @@ def main() -> None:
         min_quality=args.min_quality,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
-        max_pii_count=args.max_pii_count,
-        pii_kinds=(tuple(args.redact_pii.split(","))
-                   if args.redact_pii else None),
+        # when the span pre-stage ran, the PII gate+scrub already ran
+        # BEFORE it (on the true original text) — see span_ran_pii
+        max_pii_count=None if span_ran_pii else args.max_pii_count,
+        pii_kinds=None if span_ran_pii else (
+            tuple(args.redact_pii.split(","))
+            if args.redact_pii else None),
         langs=tuple(args.langs.split(",")) if args.langs else None,
         chunk_size=None,
         embed_dim=None,

@@ -115,6 +115,77 @@ def near_dup_drop_ids(
     raise ValueError(f"policy={policy!r} not in ('greedy', 'components')")
 
 
+def apply_pii_stage(
+    out: DataFrame,
+    max_pii_count: Optional[int],
+    pii_kinds: "Optional[tuple[str, ...]]",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII density gate and/or scrub, as one stage.
+
+    - gate (``max_pii_count``, VERDICT r6 #6): a page riddled with
+      emails / phone numbers / card numbers is a contact dump or a
+      leak, not prose — DROP it rather than publish a mask-riddled
+      text. Counted on the ORIGINAL text (before any redaction); a
+      stateless scan-fused predicate.
+    - scrub (``pii_kinds``): a stateless text REWRITE
+      (regexp_replace chain + Luhn-checked card-number fold).
+
+    When BOTH run (r8, VERDICT r7 #4), the Luhn-checked card match
+    list of the original text is hoisted into ONE projected column
+    consumed by gate and scrub, so the candidate regexp scan +
+    checksum fold runs once per row instead of once per consumer."""
+    if max_pii_count is not None and pii_kinds is not None:
+        from .textstats import (
+            credit_card_matches, pii_match_count, redact_pii,
+        )
+
+        c = F.col(text_col)
+        # the always-true branch is value-neutral but marks the
+        # hoisted column NON-deterministic, which stops
+        # PushPredicateThroughNonJoin (whose guard is on the PROJECT
+        # fields' determinism) from re-inlining the __cc alias into
+        # the gate filter — without it the optimizer undoes the hoist
+        # and the card scan + Luhn fold runs twice per row again
+        # (guide §4.4: mark expensive expressions non-deterministic to
+        # stop the optimizer duplicating them). spark_partition_id()
+        # rather than rand(): Spark 4's OptimizeRand rule folds
+        # constant-bounded rand comparisons away, un-marking the
+        # column. Blocking pushdown here is itself harmless-to-good:
+        # pushing the gate below the earlier stages would re-evaluate
+        # it on rows they are about to drop.
+        cc_once = F.when(F.spark_partition_id() >= -1,
+                         credit_card_matches(c))
+        return (
+            out.withColumn("__cc", cc_once)
+            .filter(
+                pii_match_count(c, cc_matches=F.col("__cc"))
+                <= max_pii_count
+            )
+            .withColumn(
+                text_col,
+                redact_pii(
+                    c, pii_kinds,
+                    cc_matches=(F.col("__cc")
+                                if "credit_card" in pii_kinds else None),
+                ),
+            )
+            .drop("__cc")
+        )
+    if max_pii_count is not None:
+        from .textstats import pii_match_count
+
+        return out.filter(
+            pii_match_count(F.col(text_col)) <= max_pii_count
+        )
+    if pii_kinds is not None:
+        from .textstats import redact_pii
+
+        return out.withColumn(text_col,
+                              redact_pii(F.col(text_col), pii_kinds))
+    return out
+
+
 def prepare_corpus(
     docs: DataFrame,
     exact: bool = True,
@@ -188,24 +259,7 @@ def prepare_corpus(
             out = out.filter(
                 top_bigram_frac(F.col(text_col)) <= max_top_bigram_frac
             )
-    if max_pii_count is not None:
-        # PII density gate (VERDICT r6 #6): a page riddled with emails
-        # / phone numbers / card numbers is a contact dump or a leak,
-        # not prose — DROP it rather than publish a mask-riddled text.
-        # Evaluated on the ORIGINAL text (before any redaction), like
-        # the other gates a stateless scan-fused predicate.
-        from .textstats import pii_match_count
-
-        out = out.filter(pii_match_count(F.col(text_col)) <= max_pii_count)
-    if pii_kinds is not None:
-        # PII scrub (textstats.redact_pii): a stateless text REWRITE
-        # (regexp_replace chain + Luhn-checked card-number fold), after
-        # the dedup stages — fingerprints and near-dup signatures see
-        # the original text, the published corpus sees the masked one
-        from .textstats import redact_pii
-
-        out = out.withColumn(text_col,
-                             redact_pii(F.col(text_col), pii_kinds))
+    out = apply_pii_stage(out, max_pii_count, pii_kinds, text_col)
     if langs is not None:
         # language gate (textstats.language_id heuristic): like the
         # quality gate, a stateless column predicate Catalyst fuses

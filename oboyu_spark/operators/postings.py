@@ -602,19 +602,32 @@ def _build_one_part(
             .drop("text")
         )
     toks = toks.persist()
+    steps: dict[str, float] = {}
+    t_s = time.time()
 
-    # docmap for this part — straight projection, no join, no agg
+    # docmap for this part — straight projection, no join, no agg; the
+    # per-part (n_docs, tokens) stats ride the SAME action as an
+    # Observation (r8: one fewer barrier per part — the standalone
+    # toks.agg job re-scanned the persisted frame just for two
+    # scalars). observe() sits ABOVE the range exchange so its
+    # accumulators never see the exchange's boundary-sampling pass.
+    from pyspark.sql import Observation
+
+    obs_dm = Observation()
     toks.select(
         "doc_id", "doc_int", F.col("dl").cast("long").alias("dl"), "fp",
     ) \
         .repartitionByRange(4, "doc_int").sortWithinPartitions("doc_int") \
+        .observe(
+            obs_dm,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tokens"),
+        ) \
         .write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
-
-    stats_row = toks.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("tokens"),
-    ).collect()[0]
-    n_docs_part, tokens_part = int(stats_row["n"]), int(stats_row["tokens"])
+    dm_stats = obs_dm.get
+    n_docs_part, tokens_part = int(dm_stats["n"]), int(dm_stats["tokens"])
+    steps["docmap"] = round(time.time() - t_s, 3)
+    t_s = time.time()
 
     # term strings leave the pipeline HERE: everything downstream keys
     # on the fixed-width 128-bit hash pair (see POSTINGS_SCHEMA note)
@@ -636,16 +649,28 @@ def _build_one_part(
     )
     # th1-sorted within files so the query-side df/part lookup prunes
     # row groups on its pushed In(th1) filter — same device as the
-    # postings payload (searchidx reads vocab_parts, not vocabulary)
-    vocab_part.sortWithinPartitions("th1").write.mode("overwrite").parquet(
+    # postings payload (searchidx reads vocab_parts, not vocabulary).
+    # The hot-term (skew) set rides the same action as an Observation
+    # (r8) — the separate filter+collect job re-ran the vocab
+    # aggregation; hot terms are few by definition (df > salt_chunk),
+    # so the collect_list stays tiny.
+    obs_vp = Observation()
+    vocab_part.sortWithinPartitions("th1").observe(
+        obs_vp,
+        F.collect_list(
+            F.when(F.col("df") > salt_chunk, F.struct("th1", "th2", "df"))
+        ).alias("hot"),
+    ).write.mode("overwrite").parquet(
         f"{index_dir}/vocab_parts/bpart={p}"
     )
 
-    # hot terms (the skew set) are few — collect + broadcast, no join
+    # hot terms (the skew set) are few — broadcast map, no join
     hot = [
         (int(r["th1"]), int(r["th2"]), min(-(-int(r["df"]) // salt_chunk), 64))
-        for r in vocab_part.filter(F.col("df") > salt_chunk).collect()
+        for r in obs_vp.get["hot"]
     ]
+    steps["tf_vocab"] = round(time.time() - t_s, 3)
+    t_s = time.time()
     if hot:
         hot_df = spark.createDataFrame(
             hot, "th1 long, th2 long, salt_count long"
@@ -664,21 +689,31 @@ def _build_one_part(
             / F.lit(shard_size)
         ).cast("int").alias("salt"),
     )
-    # ONE encode shuffle: repartition by shard, sort groups contiguous,
-    # stream-encode whole partitions (no per-group applyInPandas — see
-    # _encode_stream), and the output is ALREADY sorted by th1 within
-    # each file for row-group pruning, so no post-encode repartition.
-    # th1-first sort nesting: groups stay contiguous (full group key in
-    # the sort) AND files keep globally ascending th1 → tight parquet
-    # row-group min/max for the query-side term filter
-    # one encode partition per shard key (a part holds ≤ shards_per_part
-    # shards): the stream encoder is CPU-bound, so its parallelism must
-    # track the shard count, not a fraction of it — the r2 spp//4
-    # setting ran the most expensive action of the build on 4 tasks
-    # (ENCODE_PARTITIONS module knob exists for A/B experiments only)
-    n_enc = ENCODE_PARTITIONS or _spp(index_dir)
+    # ONE encode shuffle: repartition by the FULL group key, sort groups
+    # contiguous, stream-encode whole partitions (no per-group
+    # applyInPandas — see _encode_stream), and the output is ALREADY
+    # sorted by th1 within each file for row-group pruning, so no
+    # post-encode repartition. th1-first sort nesting: groups stay
+    # contiguous (full group key in the sort) AND files keep ascending
+    # th1 → tight parquet row-group min/max for the query-side term
+    # filter (each file holds a hash-scattered SUBSET of terms, but the
+    # rows within it are th1-sorted, so row groups still cover narrow
+    # disjoint th1 ranges).
+    # Partitioning key (r8): hashing on `shard` alone capped the encode
+    # stage's parallelism at the part's shard count — 6 tasks for the
+    # wide-vocab bench geometry, ONE task for a 130k-doc big-shard part
+    # — which is the measured wide-vocab scaling floor (VERDICT r7 #2:
+    # 2→8 cores = 0.54). Groups only need to be contiguous within a
+    # partition, not co-located per shard (the query side re-groups by
+    # shard anyway), so hashing the full (shard, th1, th2, salt) key
+    # spreads the ~|vocab| tiny posting groups evenly over a
+    # scale-adaptive task count (≥ cluster parallelism, never fewer
+    # than the shard count) and also de-skews hot salted terms.
+    n_enc = ENCODE_PARTITIONS or max(
+        _spp(index_dir), spark.sparkContext.defaultParallelism
+    )
     postings = (
-        enriched.repartition(max(2, n_enc), "shard")
+        enriched.repartition(max(2, n_enc), "shard", "th1", "th2", "salt")
         .sortWithinPartitions("th1", "th2", "salt", "shard", "doc_int")
         .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
     )
@@ -687,6 +722,8 @@ def _build_one_part(
     # partition-overwrite semantics to get wrong); readers discover
     # bpart=*/ via normal partition inference
     postings.write.mode("overwrite").parquet(f"{index_dir}/postings/bpart={p}")
+    steps["encode"] = round(time.time() - t_s, 3)
+    t_s = time.time()
 
     toks.unpersist()
     tf.unpersist()
@@ -698,6 +735,7 @@ def _build_one_part(
             F.sum(F.length("gaps") + F.length("tfs") + F.length("dls")), F.lit(0)
         ).alias("bytes"),
     ).collect()[0]
+    steps["verify"] = round(time.time() - t_s, 3)
     elapsed = time.time() - t0
     sh1 = shuffle_bytes(spark)
     # NB: with concurrent part builds the app-level delta attributes
@@ -716,6 +754,7 @@ def _build_one_part(
         "n_postings": int(agg["postings"]),
         "compressed_payload_bytes": int(agg["bytes"]),
         "build_seconds": round(elapsed, 3),
+        "step_seconds": steps,
         "docs_per_sec": round(n_docs_part / elapsed, 2) if elapsed > 0 else None,
         "tokens_per_sec": round(tokens_part / elapsed, 2) if elapsed > 0 else None,
     }
@@ -849,7 +888,13 @@ def finalize_index(
         "n_docs": n_docs,
         "total_terms": total_terms,
         "avgdl": avgdl,
-        "n_vocab_terms": int(vocab.count()),
+        # count the WRITTEN vocabulary (parquet row-count metadata, no
+        # scan) instead of vocab.count(), which re-ran the whole merge
+        # aggregation — at a 200k-term vocabulary that recompute was
+        # most of the finalize phase (r8)
+        "n_vocab_terms": int(
+            spark.read.parquet(f"{index_dir}/vocabulary").count()
+        ),
         "posting_rows": sum(pm.get("posting_rows", 0) for pm in parts),
         "n_postings": sum(pm.get("n_postings", 0) for pm in parts),
         "compressed_payload_bytes": sum(

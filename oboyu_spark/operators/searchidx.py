@@ -259,6 +259,55 @@ def make_taat_scorer(
     return score_shard
 
 
+def make_mixed_scorer(
+    qmap_taat: dict[int, list[tuple[str, int]]],
+    qmap_bmw: dict[int, list[tuple[str, int]]],
+    idf_map: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    shard_size: int,
+    tomb: np.ndarray | None = None,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Per-query scorer dispatch for ``scorer="auto"`` mixed batches
+    (r8, VERDICT r7 #1): selective queries run under the block-max
+    (BMW) closure, hot queries under the vectorized TAAT accumulate,
+    in ONE scatter over the same pruned postings. Each sub-scorer sees
+    only the posting rows of its own queries' terms (a pandas th1
+    filter — decode work stays ≈ one scorer's worth; a term shared by
+    both subsets is decoded twice, bounded by the query batch).
+    Results are the row-concat of the two sub-scorers, both exact and
+    rank-identical by the pinned TAAT==BMW invariant."""
+    from .wand import make_bmw_scorer
+
+    fn_taat = make_taat_scorer(qmap_taat, idf_map, k1, b, avgdl, k,
+                               shard_size, tomb)
+    fn_bmw = make_bmw_scorer(qmap_bmw, idf_map, k1, b, avgdl, k,
+                             shard_size, tomb)
+    h1_taat = {h[0] for qterms in qmap_taat.values() for h, _ in qterms}
+    h1_bmw = {h[0] for qterms in qmap_bmw.values() for h, _ in qterms}
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        sub = pdf[pdf["th1"].isin(h1_bmw)]
+        if len(sub):
+            outs.append(fn_bmw(sub))
+        sub = pdf[pdf["th1"].isin(h1_taat)]
+        if len(sub):
+            outs.append(fn_taat(sub))
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int32"),
+                 "doc_int": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return score_shard
+
+
 def _wtf(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float):
     t = tfs.astype(np.float64)
     d = dls.astype(np.float64)
@@ -491,9 +540,9 @@ def _search(
         else:
             missing.append(h)
     if missing:
-        hash_df = spark.createDataFrame(missing, "th1 long, th2 long")
         vp = vocab_parts_table()
         miss_h1 = sorted({h1 for h1, _ in missing})
+        miss_set = set(missing)
         vt = table("vocabulary")
         if "bparts" in vt.columns:
             # r7 fast path: the merged vocabulary carries each term's
@@ -501,56 +550,56 @@ def _search(
             # th1-range-sorted table scan serves df AND the pruning
             # input, instead of fanning out over every vocab_parts
             # partial (at 505 parts that fan-out alone cost ~4.5 s per
-            # cold query; at 10⁴ parts it is the latency floor)
-            vocab = (
-                vt.filter(F.col("th1").isin(miss_h1))
-                .join(F.broadcast(hash_df), ["th1", "th2"])
-                .collect()
-            )
+            # cold query; at 10⁴ parts it is the latency floor).
+            # The exact (th1, th2) pair match runs DRIVER-side over the
+            # few th1-matched rows (r8) — the broadcast-join of a tiny
+            # literal frame bought nothing but an extra exchange/stage
+            # on the cold-query latency path.
+            vocab = vt.filter(F.col("th1").isin(miss_h1)).collect()
             found = {}
             for r in vocab:
+                if (r["th1"], r["th2"]) not in miss_set:
+                    continue  # th1 hash collision with a non-query term
                 parts = (None if r["bparts"] is None
                          else tuple(int(p) for p in r["bparts"]))
                 found[(r["th1"], r["th2"])] = (
                     int(r["document_frequency"]), parts
                 )
         elif vp is not None:
-            vocab = (
-                # the In(th1) filter is PUSHED to the scan (partials
-                # are th1-sorted within files → row-group pruning);
-                # the broadcast join then applies the exact pair match
-                vp.filter(F.col("th1").isin(miss_h1))
-                .join(F.broadcast(hash_df), ["th1", "th2"])
-                .groupBy("th1", "th2")
-                .agg(
-                    F.sum("df").alias("document_frequency"),
-                    F.collect_set("bpart").alias("bparts"),
-                )
-                .collect()
-            )
-            found = {}
+            # the In(th1) filter is PUSHED to the scan (partials are
+            # th1-sorted within files → row-group pruning); the exact
+            # pair match + per-part df sum fold driver-side (rows per
+            # term = its part count)
+            vocab = vp.filter(F.col("th1").isin(miss_h1)).collect()
+            agg: dict[tuple[int, int], tuple[int, set]] = {}
             for r in vocab:
-                parts = tuple(sorted(int(p) for p in r["bparts"]))
+                key = (r["th1"], r["th2"])
+                if key not in miss_set:
+                    continue
+                df_sum, pset = agg.get(key, (0, set()))
+                pset.add(int(r["bpart"]))
+                agg[key] = (df_sum + int(r["df"]), pset)
+            found = {}
+            for key, (df_sum, pset) in agg.items():
+                parts = tuple(sorted(pset))
                 if len(parts) > PART_PRUNE_MAX_PER_TERM:
                     # a term present in this many parts prunes nothing
                     # — and caching its full part list for 10^6 hot
                     # terms would blow the driver cache; record "all"
                     parts = None
-                found[(r["th1"], r["th2"])] = (
-                    int(r["document_frequency"]), parts
-                )
+                found[key] = (df_sum, parts)
         else:
             # legacy layout without vocab_parts: merged vocabulary df,
             # no part information (searches scan every bpart)
             vocab = (
                 table("vocabulary")
                 .filter(F.col("th1").isin(miss_h1))
-                .join(F.broadcast(hash_df), ["th1", "th2"])
                 .collect()
             )
             found = {
                 (r["th1"], r["th2"]): (int(r["document_frequency"]), None)
                 for r in vocab
+                if (r["th1"], r["th2"]) in miss_set
             }
         for h in missing:
             df_by_hash[h] = found[h][0] if h in found else None
@@ -590,41 +639,46 @@ def _search(
     }
     idf_map = idf_by_hash
     live_h1 = sorted({h1 for h1, _ in idf_by_hash})
-    postings = table("postings").filter(F.col("th1").isin(live_h1))
     # part-level pruning: read ONLY the bpart= directories that contain
     # at least one live query term (bpart is a partition column — the
     # isin lands in the scan's PartitionFilters, so unrelated parts'
     # files are never opened, footer reads included). Skipped when any
     # live term's part set was too large to track (it spans everything
     # anyway) or when the union itself stops being selective.
+    # The prune decision runs BEFORE any relation is created (r8,
+    # ADVICE r7): on the one-shot path, eagerly building the root
+    # relation first — as r7 did — paid the full partition-directory
+    # listing the explicit-path read exists to skip.
     part_sets = [parts_by_hash.get(h) for h in idf_by_hash]
     _LAST_SCAN_INFO.clear()
     _LAST_SCAN_INFO["live_parts"] = None
+    live_parts = None
     if all(ps is not None for ps in part_sets):
-        live_parts = sorted(set().union(*part_sets))
-        if len(live_parts) <= PART_PRUNE_MAX_UNION:
-            if dfs is None:
-                # one-shot path (r7): build the relation from the live
-                # bpart directories EXPLICITLY instead of filtering a
-                # root read — root relation creation LISTS every
-                # partition directory before PartitionFilters apply
-                # (measured ~1 s at 505 local parts, and a per-query
-                # 10⁴-prefix listing on an object store), all of it for
-                # directories the filter then discards. A warm
-                # IndexReader amortizes discovery in its persisted
-                # relations; this gives the cold path the same
-                # locality.
-                postings = spark.read.option(
-                    "basePath", f"{index_dir}/postings"
-                ).parquet(*[
-                    f"{index_dir}/postings/bpart={int(p)}"
-                    for p in live_parts
-                ]).filter(F.col("th1").isin(live_h1))
-            else:
-                postings = postings.filter(
-                    F.col("bpart").isin([int(p) for p in live_parts])
-                )
+        lp = sorted(set().union(*part_sets))
+        if len(lp) <= PART_PRUNE_MAX_UNION:
+            live_parts = lp
             _LAST_SCAN_INFO["live_parts"] = live_parts
+    if live_parts is not None and dfs is None:
+        # one-shot path (r7): build the relation from the live bpart
+        # directories EXPLICITLY instead of filtering a root read —
+        # root relation creation LISTS every partition directory
+        # before PartitionFilters apply (measured ~1 s at 505 local
+        # parts, and a per-query 10⁴-prefix listing on an object
+        # store), all of it for directories the filter then discards.
+        # A warm IndexReader amortizes discovery in its persisted
+        # relations; this gives the cold path the same locality.
+        postings = spark.read.option(
+            "basePath", f"{index_dir}/postings"
+        ).parquet(*[
+            f"{index_dir}/postings/bpart={int(p)}"
+            for p in live_parts
+        ]).filter(F.col("th1").isin(live_h1))
+    else:
+        postings = table("postings").filter(F.col("th1").isin(live_h1))
+        if live_parts is not None:
+            postings = postings.filter(
+                F.col("bpart").isin([int(p) for p in live_parts])
+            )
 
     from .postings import load_tombstones
 
@@ -633,27 +687,38 @@ def _search(
         np.array(sorted(tomb_set), dtype=np.int64) if tomb_set else None
     )
 
+    bmw_qmap: dict | None = None
     if scorer == "auto" and mode != "and":
         # geometry-driven choice (r7, exp_bmw_kernel.py / BENCH.md):
         # BMW only where it measured faster — big shards (long
-        # per-shard lists) AND every query selective (one scorer runs
-        # the whole batch, so each query's most-selective present term
-        # must clear the df cut; a mixed batch keeps TAAT, the safe
-        # default). Exact either way — the scorers are pinned
-        # rank-identical.
-        worst = 0.0
-        for qterms in qmap.values():
+        # per-shard lists) AND the query selective (its most-selective
+        # present term under the df cut). r8 (VERDICT r7 #1): the
+        # choice is PER QUERY, not per batch — a mixed batch splits
+        # into a BMW subset and a TAAT subset scored in the SAME
+        # scatter (one dispatching closure), instead of one hot query
+        # forfeiting the measured 2.7× BMW batch win for everyone.
+        # Exact either way — the scorers are pinned rank-identical.
+        sel_q: dict = {}
+        hot_q: dict = {}
+        big = shard_size >= AUTO_BMW_MIN_SHARD
+        for qid, qterms in qmap.items():
             dfs_q = [df_by_hash[h] for h, _ in qterms
                      if df_by_hash.get(h) is not None]
-            if dfs_q:
-                worst = max(worst, min(dfs_q) / max(n_docs, 1))
-        scorer = (
-            "bmw"
-            if (shard_size >= AUTO_BMW_MIN_SHARD
-                and 0.0 < worst <= AUTO_BMW_MAX_DF_FRAC)
-            else "taat"
-        )
+            frac = (min(dfs_q) / max(n_docs, 1)) if dfs_q else 0.0
+            if big and 0.0 < frac <= AUTO_BMW_MAX_DF_FRAC:
+                sel_q[qid] = qterms
+            else:
+                hot_q[qid] = qterms
+        if not sel_q:
+            scorer = "taat"
+        elif not hot_q:
+            scorer = "bmw"
+        else:
+            scorer = "mixed"
+            qmap, bmw_qmap = hot_q, sel_q
         _LAST_SCAN_INFO["auto_scorer"] = scorer
+        if scorer == "mixed":
+            _LAST_SCAN_INFO["auto_bmw_queries"] = sorted(sel_q)
 
     if mode == "and":
         # intersection needs per-doc matched-term counts → TAAT
@@ -665,6 +730,9 @@ def _search(
         from .wand import make_bmw_scorer
 
         fn = make_bmw_scorer(qmap, idf_map, k1, b, avgdl, k, shard_size, tomb)
+    elif scorer == "mixed":
+        fn = make_mixed_scorer(qmap, bmw_qmap, idf_map, k1, b, avgdl, k,
+                               shard_size, tomb)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
 

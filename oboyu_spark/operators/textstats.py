@@ -284,8 +284,9 @@ CC_CANDIDATE_PATTERN = (
 )
 
 # every kind redact_pii / pii_stats / pii_match_count know about; the
-# checked (non-pure-regex) kinds come last so the regex kinds never
-# see a masked token
+# checked (non-pure-regex) kinds come FIRST: card matches are
+# extracted from the ORIGINAL column and folded before the
+# regexp_replace chain, so the checksum never sees a masked token
 PII_KINDS: "tuple[str, ...]" = ("credit_card", *PII_PATTERNS)
 
 
@@ -322,7 +323,8 @@ def credit_card_matches(col: Column) -> Column:
     )
 
 
-def redact_pii(col: Column, kinds: "tuple[str, ...]" = PII_KINDS) -> Column:
+def redact_pii(col: Column, kinds: "tuple[str, ...]" = PII_KINDS,
+               cc_matches: Column | None = None) -> Column:
     """Mask PII spans with <EMAIL>/<IPV4>/<PHONE>/<SSN>/<CREDIT_CARD>
     tokens — the standard regex scrub a training-data pipeline runs
     before publication (Dolma/RedPajama-style; conservative ASCII
@@ -330,12 +332,21 @@ def redact_pii(col: Column, kinds: "tuple[str, ...]" = PII_KINDS) -> Column:
     are a pure regexp_replace chain; ``credit_card`` folds its
     Luhn-valid match list over the text with literal replace. All of
     it is scan-fused column expressions, zero shuffle, with exact
-    DuckDB twins (same pattern strings, same checksum)."""
+    DuckDB twins (same pattern strings, same checksum).
+
+    ``cc_matches``: optional pre-computed ``credit_card_matches(col)``
+    column — pass it when the caller ALSO needs the match list (gate +
+    scrub on one path), so the candidate regexp_extract_all + Luhn
+    fold runs once per row instead of per consumer (VERDICT r7 #4;
+    the Luhn filter is a higher-order function, outside codegen
+    subexpression elimination)."""
     out = col
     for k in kinds:
         if k == "credit_card":
+            cc = cc_matches if cc_matches is not None \
+                else credit_card_matches(col)
             out = F.aggregate(
-                credit_card_matches(col), out,
+                cc, out,
                 lambda acc, c: F.replace(acc, c, F.lit("<CREDIT_CARD>")),
             )
         else:
@@ -344,14 +355,18 @@ def redact_pii(col: Column, kinds: "tuple[str, ...]" = PII_KINDS) -> Column:
 
 
 def pii_match_count(col: Column,
-                    kinds: "tuple[str, ...]" = PII_KINDS) -> Column:
+                    kinds: "tuple[str, ...]" = PII_KINDS,
+                    cc_matches: Column | None = None) -> Column:
     """Total PII matches across ``kinds`` — the density signal the
     pipeline's ``max_pii_count`` gate filters on (drop PII-dense docs
-    instead of publishing a mask-riddled page)."""
+    instead of publishing a mask-riddled page). ``cc_matches`` as in
+    :func:`redact_pii`."""
     total = F.lit(0)
     for k in kinds:
         if k == "credit_card":
-            total = total + F.size(credit_card_matches(col))
+            cc = cc_matches if cc_matches is not None \
+                else credit_card_matches(col)
+            total = total + F.size(cc)
         else:
             total = total + F.regexp_count(col, F.lit(PII_PATTERNS[k]))
     return total
@@ -360,16 +375,29 @@ def pii_match_count(col: Column,
 def pii_stats(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Per-doc PII match counts (one column per kind, credit cards
-    Luhn-checked) + fully redacted text."""
+    Luhn-checked) + fully redacted text.
+
+    The Luhn-checked card match list is hoisted into ONE projected
+    column consumed by both ``n_credit_card`` and the redaction fold
+    (r8, VERDICT r7 #4) — the candidate scan + checksum is a
+    higher-order function chain that codegen subexpression elimination
+    does not dedupe, so inlining it twice doubled the regex work per
+    row. Output schema and values are unchanged."""
     c = F.col(text_col)
-    return docs.select(
+    pre = docs.select(
         F.col(id_col).alias("doc_id"),
+        c.alias("__pii_text"),
+        credit_card_matches(c).alias("__cc"),
+    )
+    t = F.col("__pii_text")
+    return pre.select(
+        "doc_id",
         *[
-            F.regexp_count(c, F.lit(p)).alias(f"n_{k}")
+            F.regexp_count(t, F.lit(p)).alias(f"n_{k}")
             for k, p in PII_PATTERNS.items()
         ],
-        F.size(credit_card_matches(c)).alias("n_credit_card"),
-        redact_pii(c).alias("redacted_text"),
+        F.size("__cc").alias("n_credit_card"),
+        redact_pii(t, cc_matches=F.col("__cc")).alias("redacted_text"),
     )
 
 

@@ -287,11 +287,15 @@ def curate_and_index_stream(
     and the batch pipeline's drop-higher-id policy is applied,
     retroactively tombstoning an indexed doc when a lower-id near-dup
     arrives later (see ``_near_dedup_handler``). Ordering caveat: the
-    stream's quality gate runs BEFORE near-dedup, while
-    ``prepare_corpus`` near-dedups the pre-quality corpus — survivor
-    sets diverge only when a sub-quality doc near-pairs a surviving
-    one (same deliberate divergence as the exact stage, documented on
-    ``prepare_stream``)."""
+    stream's stateless gates — quality, repetition, AND the r7 PII
+    density gate (``max_pii_count``) — run BEFORE near-dedup (fused
+    at the scan), while ``prepare_corpus`` near-dedups the pre-gate
+    corpus — survivor sets diverge only when a gated-out doc (e.g. a
+    PII-dense lower-id doc) near-pairs a surviving one: batch lets it
+    participate in drop-higher-id survivorship before gating it out,
+    the stream never admits it to the MinHash store, so its higher-id
+    near-dups survive (ADVICE r7; same deliberate divergence as the
+    exact stage, documented on ``prepare_stream``)."""
     from .ingest import handle_batch_factory
 
     if (near_threshold is None) != (minhash_dir is None):

@@ -316,3 +316,48 @@ def test_pii_density_gate(spark):
         ["docs"].collect()}
     assert out[2] == "one address only: <EMAIL>"
     assert out[4] == rows[3][1]
+
+
+def test_cli_span_dedup_with_pii_gate_and_scrub(spark, tmp_path,
+                                                monkeypatch):
+    """--drop-span-dups + PII flags (ADVICE r7, medium): the PII gate
+    counts the TRUE original text and the scrub masks it BEFORE the
+    span stage rebuilds text from the punct-stripped token stream —
+    otherwise separator-dependent patterns (123-45-6789, a@b.c) stop
+    matching the rewritten text and PII ships unmasked."""
+    import sys
+
+    rows = [
+        # PII-dense: 3 emails → gated out at max-pii-count 2 even
+        # though its text also holds the repeated span
+        (1, "x9@q.io y8@q.io z7@q.io " + "the shared span words here "),
+        # one SSN + the repeated span: must survive the gate and come
+        # out WITHOUT the raw digits (scrub ran before the rewrite)
+        (2, "ssn 987-65-4329 " + "the shared span words here " * 2),
+        (3, "the shared span words here " + "unique tail three"),
+        (4, "clean document with a unique tail four"),
+    ]
+    inp = str(tmp_path / "cli_in")
+    outd = str(tmp_path / "cli_out")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.mode("overwrite").parquet(inp)
+
+    from oboyu_spark.jobs import prepare_corpus as job
+
+    monkeypatch.setattr(sys, "argv", [
+        "prepare_corpus.py", "--input", inp, "--output", outd,
+        "--drop-span-dups", "5", "--max-pii-count", "2",
+        "--redact-pii", "ssn,email", "--no-near", "--no-chunk",
+    ])
+    job.main()
+    out = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(f"{outd}/docs").collect()}
+    assert "1" not in out                 # PII-dense doc gated out
+    assert set(out) == {"2", "3", "4"}
+    # the SSN digits never reach the output in ANY separator form
+    # (the span rewrite strips punctuation, so an unscrubbed leak
+    # would surface as "987 65 4329")
+    joined = " ".join(out.values())
+    assert "987" not in joined and "4329" not in joined
+    # and the masked token made it through the span rewrite
+    assert "ssn" in out["2"]

@@ -380,3 +380,34 @@ def test_deterministic_sample_no_exchange(spark, corpus):
 
     plan = _plan(deterministic_sample(corpus, 0.3, seed=5))
     assert "Exchange" not in plan, plan
+
+
+def test_pii_card_scan_hoisted_once(spark, tmp_path):
+    """The Luhn-checked credit-card match list is computed ONCE per row
+    (r8, VERDICT r7 #4): pii_stats and the combined pipeline
+    gate+scrub each carry exactly one credit-card candidate
+    regexp_extract_all in their OPTIMIZED plan — the optimizer is not
+    allowed to re-inline the hoisted column into both consumers."""
+    from oboyu_spark.operators.pipeline import apply_pii_stage
+    from oboyu_spark.operators.textstats import (
+        CC_CANDIDATE_PATTERN, pii_stats,
+    )
+
+    p = str(tmp_path / "cdocs")
+    spark.createDataFrame(
+        [(i, f"card 4111-1111-1111-1111 mail u{i}@x.io")
+         for i in range(10)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+
+    def opt(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert opt(pii_stats(docs)).count(CC_CANDIDATE_PATTERN) == 1
+    combined = apply_pii_stage(docs, 5, ("credit_card", "email"))
+    assert opt(combined).count(CC_CANDIDATE_PATTERN) == 1
+    # and the stage stays scan-fused: no shuffle, no python UDF
+    plan = _plan(combined)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -152,3 +152,43 @@ def test_auto_scorer_picks_by_geometry(spark, tmp_path):
         assert [r.doc_id for r in got] == ["77"]
     finally:
         S.AUTO_BMW_MIN_SHARD = old
+
+
+def test_auto_scorer_mixed_batch_dispatches_per_query(spark, tmp_path):
+    """r8 (VERDICT r7 #1): a MIXED batch no longer collapses to TAAT —
+    selective queries run under the BMW closure and hot queries under
+    TAAT in the SAME scatter, results rank-identical to both explicit
+    scorers per query."""
+    from oboyu_spark.operators import searchidx as SI
+    from oboyu_spark.operators.postings import build_index
+    from oboyu_spark.operators.searchidx import search_index
+
+    rows = [(i, "common words shared by every document here "
+             + ("rareterm " if i == 77 else "filler pad ") * 3)
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    big = str(tmp_path / "big_mixed")
+    build_index(docs, big, shard_size=300, shards_per_part=2,
+                id_assign_partitions=4)
+
+    queries = ["rareterm common",      # selective -> BMW subset
+               "common filler",        # hot -> TAAT subset
+               "rareterm filler"]      # selective -> BMW subset
+    old = SI.AUTO_BMW_MIN_SHARD
+    SI.AUTO_BMW_MIN_SHARD = 300
+    try:
+        got = search_index(spark, big, queries, k=5,
+                           scorer="auto").collect()
+        assert SI._LAST_SCAN_INFO["auto_scorer"] == "mixed"
+        assert SI._LAST_SCAN_INFO["auto_bmw_queries"] == [0, 2]
+        for ref_scorer in ("taat", "bmw"):
+            ref = search_index(spark, big, queries, k=5,
+                               scorer=ref_scorer).collect()
+            assert sorted((r.query_id, r.doc_id, round(r.score, 9))
+                          for r in got) == \
+                sorted((r.query_id, r.doc_id, round(r.score, 9))
+                       for r in ref), ref_scorer
+        # every query produced rows (the dispatch lost nobody)
+        assert {r.query_id for r in got} == {0, 1, 2}
+    finally:
+        SI.AUTO_BMW_MIN_SHARD = old
