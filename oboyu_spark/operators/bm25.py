@@ -162,16 +162,103 @@ def bm25_search(
     This is the correctness-gate path: it recomputes tf/vocab/stats from
     the corpus each call. Production uses the persisted bucketed index
     (operators/postings.py) instead.
+
+    r8 plan shape (guide §1.2/§2.3 — same scores, fewer corpus passes):
+    the r1-r7 composition derived tf, document_stats, vocabulary and
+    collection_stats as four independent subtrees, so one query plan
+    tokenized + exploded + hash-aggregated the FULL corpus 3-4× (15
+    Exchanges, zero ReusedExchange — column pruning makes each subtree
+    unique, defeating exchange reuse). Now:
+
+    1. ONE un-exploded corpus pass aggregates every collection
+       statistic the scorer needs — N (every doc counts, empty docs
+       included), total token mass, and per-query-term df via
+       array_contains — into a single broadcastable row.
+    2. The scoring explode FILTERS to query terms BEFORE its
+       aggregate, so the only wide exchange carries matched (doc, dl,
+       term) rows instead of the whole corpus's (doc, term) pairs
+       (project early / aggregate small, guide §2.3); dl rides the
+       row (size(tokens), carried through the explode exactly like
+       the index build), so no document_stats join.
+
+    Per-term arithmetic, tie-break and the reference quirks (dup query
+    terms as qtf, df==0 contributes nothing, N counts empty docs,
+    mode="and" counts absent terms toward the requirement) are
+    unchanged — pinned score-identical to the composed plan by
+    test_bm25's oracle parity and the driver's exact DuckDB twins.
     """
+    from ..functions.text import tokens_expr
+
     terms = py_tokenize(query, min_token_length=min_token_length)
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col,
-                          min_token_length=min_token_length)
-    ds = document_stats(tf)
-    vocab = vocabulary(tf)
-    cs = collection_stats(docs, ds)
-    scores = bm25_scores(tf, vocab, ds, cs, terms, k1=k1, b=b, mode=mode,
-                         idf_variant=idf_variant)
-    return topk(scores, k, round_digits=round_digits)
+    counts = Counter(terms)
+    uniq = sorted(counts)
+    n_distinct_terms = len(uniq)
+    if not uniq:
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    if mode not in ("or", "and"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_expr(F.col(text_col), min_token_length, None).alias("tokens"),
+    ).select(
+        "doc_id", "tokens", F.size("tokens").cast("long").alias("dl")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("total_documents"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_terms"),
+        *[
+            F.sum(F.array_contains("tokens", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(uniq)
+        ],
+    )
+
+    tfq = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(uniq))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    matched = tfq.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("total_terms") / F.col("total_documents")
+    )
+
+    # per-term (idf, qtf) as CASE over the small distinct query term
+    # set — the per-term side is already ON the broadcast stats row,
+    # so no (term, weight) relation is needed at all. df==0 terms
+    # simply have no matched rows (no doc contains them), preserving
+    # the reference's "df==0 contributes 0" early return.
+    idf_c = None
+    qtf_c = None
+    for i, t in enumerate(uniq):
+        cond = F.col("term") == F.lit(t)
+        iv = idf_expr(
+            F.coalesce(F.col(f"df_{i}"), F.lit(0)),
+            F.col("total_documents"), idf_variant,
+        )
+        qv = F.lit(int(counts[t])).cast("long")
+        idf_c = F.when(cond, iv) if idf_c is None else idf_c.when(cond, iv)
+        qtf_c = F.when(cond, qv) if qtf_c is None else qtf_c.when(cond, qv)
+    matched = matched.withColumn("idf", idf_c).withColumn("qtf", qtf_c)
+
+    term_score = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    agg = matched.groupBy("doc_id").agg(
+        F.sum(term_score).alias("score"),
+        F.count(F.lit(1)).alias("_nt"),  # (doc,term) rows are distinct
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("_nt") == n_distinct_terms)
+    return topk(agg.drop("_nt"), k, round_digits=round_digits)
 
 
 def like_search(

@@ -361,29 +361,25 @@ def _tag_local_ids(df: DataFrame) -> DataFrame:
     pre-write count() of the source (a full corpus pass at 100 TB just
     to size id strides) while staying sound: the unsound variant is
     collecting counts from a *recomputable* shuffle between two
-    actions; counting the immutable staged parquet is not that."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    actions; counting the immutable staged parquet is not that.
 
-    schema = StructType(
-        list(df.schema.fields)
-        + [StructField("pid", IntegerType(), False),
-           StructField("rn", LongType(), False)]
+    r8 (guide §4): the tag is two JVM integer expressions over
+    ``monotonically_increasing_id()`` — whose value IS
+    (partition id << 33) | within-partition row index — instead of a
+    mapInPandas wrapper, which round-tripped every corpus text byte
+    JVM→Python→JVM just to attach two integers. Same recompute
+    contract as before (the id source is nondeterministic under
+    retries either way, which is exactly why ids are always re-derived
+    from the FROZEN written files, never from this live expression).
+    Row-index width caps a staging partition at 2^33 rows — far above
+    any real per-partition row count."""
+    mid = F.monotonically_increasing_id()
+    tagged = df.withColumn("__mid", mid)
+    return tagged.select(
+        *df.columns,
+        F.shiftrightunsigned(F.col("__mid"), 33).cast("int").alias("pid"),
+        F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("rn"),
     )
-
-    def tag(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in it:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf["pid"] = pid
-            pdf["rn"] = range(seen, seen + n)
-            seen += n
-            yield pdf
-
-    return df.mapInPandas(tag, schema=schema)
 
 
 def _stage_docs(

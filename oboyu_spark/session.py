@@ -14,6 +14,43 @@ import os
 
 from pyspark.sql import SparkSession
 
+# one warmup per application id — repeated get_spark() calls reuse the
+# session and must not re-pay it
+_WARMED: set[str] = set()
+
+
+def _warm_jit(spark: SparkSession) -> None:
+    """Exercise the engine's hot machinery once on synthetic rows so a
+    fresh JVM's first REAL job doesn't pay the interpreter/C2-compile
+    tax (r8, guide §1: the first build of a cold session measured
+    ~7 s slower than the same build warm; this moves that cost out of
+    every user-facing first action into session startup). Covers:
+    codegen'd string split/explode, two-level hash aggregate + shuffle,
+    range partitioning + sort + parquet write/read, and the
+    Arrow/pandas worker path. Synthetic data only — never touches user
+    tables, caches no results."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    (spark.range(0, 100_000, 1, 8)
+     .select("id", F.explode(
+         F.split(F.repeat(F.lit("a b c "), 3), " ")).alias("t"))
+     .groupBy("t").count().count())
+    d = tempfile.mkdtemp(prefix="spark_warm_")
+    try:
+        (spark.range(0, 20_000, 1, 4)
+         .select("id", F.format_string("s%d", F.col("id")).alias("s"))
+         .repartitionByRange(4, "id").sortWithinPartitions("id")
+         .write.mode("overwrite").parquet(d))
+        spark.read.parquet(d).groupBy().count().collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    (spark.range(0, 5_000, 1, 4)
+     .mapInPandas(lambda it: it, schema="id long")
+     .write.format("noop").mode("overwrite").save())
+
 
 def get_spark(
     app_name: str = "oboyu_spark",
@@ -66,4 +103,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("OBOYU_SPARK_NO_WARM") != "1":
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _WARMED:
+            _WARMED.add(app_id)
+            _warm_jit(spark)
     return spark

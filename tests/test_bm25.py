@@ -159,3 +159,50 @@ def test_like_search(spark, f3_tables):
     res = B.like_search(docs, ["programming", "language"], k=10).collect()
     assert [r["doc_id"] for r in res] == [1, 2]
     assert all(r["score"] == 1.0 for r in res)
+
+
+def test_search_plan_rewrite_matches_composed_operators(spark):
+    """r8: bm25_search's two-pass plan (one stats aggregate + one
+    query-term-filtered explode) must score identically to the
+    composed term_frequencies/document_stats/vocabulary/
+    collection_stats pipeline it replaced, across modes, IDF variants
+    and duplicate query terms. Compared the way the driver compares
+    (round_digits=6, sort on the ROUNDED score) — raw-float summation
+    order differs between any two plans and flips exact-tie order."""
+    from oboyu_spark.functions.text import py_tokenize
+    from oboyu_spark.operators.termindex import (
+        collection_stats, document_stats, term_frequencies, vocabulary,
+    )
+
+    rows = [
+        (f"d{i:02d}",
+         ("spark query join " * (1 + i % 3))
+         + ("table scan " if i % 4 == 0 else "filter push ")
+         + ("" if i % 5 else "rare_gem "))
+        for i in range(40)
+    ] + [("dempty", ""), ("dshort", "xy")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def composed(q, mode, variant):
+        terms = py_tokenize(q, min_token_length=2)
+        tf = term_frequencies(docs)
+        ds = document_stats(tf)
+        cs = collection_stats(docs, ds)
+        return B.topk(
+            B.bm25_scores(tf, vocabulary(tf), ds, cs, terms, mode=mode,
+                          idf_variant=variant), 20, round_digits=6)
+
+    for q, mode, variant in [
+        ("spark join rare_gem", "or", "raw_ln"),
+        ("spark join rare_gem", "and", "raw_ln"),
+        ("spark spark query", "or", "raw_ln"),
+        ("table rare_gem", "or", "lucene_log10"),
+        ("absentterm spark", "and", "raw_ln"),
+        ("absentterm spark", "or", "raw_ln"),
+    ]:
+        a = [(r["doc_id"], r["score"]) for r in
+             composed(q, mode, variant).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               B.bm25_search(docs, q, k=20, mode=mode, round_digits=6,
+                             idf_variant=variant).collect()]
+        assert a == got, (q, mode, variant)
