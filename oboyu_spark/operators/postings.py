@@ -599,7 +599,6 @@ def _build_one_part(
         )
     toks = toks.persist()
     steps: dict[str, float] = {}
-    t_s = time.time()
 
     # docmap for this part — straight projection, no join, no agg; the
     # per-part (n_docs, tokens) stats ride the SAME action as an
@@ -607,131 +606,161 @@ def _build_one_part(
     # toks.agg job re-scanned the persisted frame just for two
     # scalars). observe() sits ABOVE the range exchange so its
     # accumulators never see the exchange's boundary-sampling pass.
+    # The write is submitted from a helper thread (r8 cont., guide
+    # §2.6): it shares no dependency with the tf→encode chain below, so
+    # Spark schedules its stages alongside the tf aggregate instead of
+    # serializing the whole docmap write onto the part's critical path
+    # (~1.5 s of a ~9 s part wall at bench geometry, and the straggler
+    # tail of every multi-part build). Both consumers materialize the
+    # SAME persisted `toks` frame — block-level cache locks make one
+    # computation win, so tokenization still runs once. step_seconds
+    # are per-step wall clocks; docmap now overlaps tf_vocab.
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
     obs_dm = Observation()
-    toks.select(
-        "doc_id", "doc_int", F.col("dl").cast("long").alias("dl"), "fp",
-    ) \
-        .repartitionByRange(4, "doc_int").sortWithinPartitions("doc_int") \
-        .observe(
-            obs_dm,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("tokens"),
+
+    def _write_docmap() -> None:
+        t_dm = time.time()
+        toks.select(
+            "doc_id", "doc_int", F.col("dl").cast("long").alias("dl"), "fp",
         ) \
-        .write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
+            .repartitionByRange(4, "doc_int").sortWithinPartitions("doc_int") \
+            .observe(
+                obs_dm,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("tokens"),
+            ) \
+            .write.mode("overwrite").parquet(f"{index_dir}/docmap/bpart={p}")
+        steps["docmap"] = round(time.time() - t_dm, 3)
+
+    dm_pool = ThreadPoolExecutor(max_workers=1)
+    dm_fut = dm_pool.submit(_write_docmap)
+    t_s = time.time()
+
+    try:
+        # term strings leave the pipeline HERE: everything downstream keys
+        # on the fixed-width 128-bit hash pair (see POSTINGS_SCHEMA note)
+        tf = (
+            toks.select(
+                "doc_int",
+                F.col("dl").cast("long").alias("dl"),
+                F.explode("tokens").alias("term"),
+            )
+            .select("doc_int", "dl", *term_hash_cols(F.col("term")))
+            .groupBy("doc_int", "dl", "th1", "th2")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        tf = tf.persist()
+
+        vocab_part = tf.groupBy("th1", "th2").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").alias("cf"),
+        )
+        # th1-sorted within files so the query-side df/part lookup prunes
+        # row groups on its pushed In(th1) filter — same device as the
+        # postings payload (searchidx reads vocab_parts, not vocabulary).
+        # The hot-term (skew) set rides the same action as an Observation
+        # (r8) — the separate filter+collect job re-ran the vocab
+        # aggregation; hot terms are few by definition (df > salt_chunk),
+        # so the collect_list stays tiny.
+        obs_vp = Observation()
+        vocab_part.sortWithinPartitions("th1").observe(
+            obs_vp,
+            F.collect_list(
+                F.when(F.col("df") > salt_chunk, F.struct("th1", "th2", "df"))
+            ).alias("hot"),
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/vocab_parts/bpart={p}"
+        )
+
+        # hot terms (the skew set) are few — broadcast map, no join
+        hot = [
+            (int(r["th1"]), int(r["th2"]), min(-(-int(r["df"]) // salt_chunk), 64))
+            for r in obs_vp.get["hot"]
+        ]
+        steps["tf_vocab"] = round(time.time() - t_s, 3)
+        t_s = time.time()
+        if hot:
+            hot_df = spark.createDataFrame(
+                hot, "th1 long, th2 long, salt_count long"
+            )
+            tf_s = tf.join(F.broadcast(hot_df), ["th1", "th2"], "left").withColumn(
+                "salt_count", F.coalesce("salt_count", F.lit(1))
+            )
+        else:
+            tf_s = tf.withColumn("salt_count", F.lit(1))
+
+        enriched = tf_s.select(
+            "th1", "th2", "doc_int", "tf", "dl",
+            (F.col("doc_int") / shard_size).cast("long").alias("shard"),
+            (
+                (F.pmod(F.col("doc_int"), F.lit(shard_size)) * F.col("salt_count"))
+                / F.lit(shard_size)
+            ).cast("int").alias("salt"),
+        )
+        # ONE encode shuffle: repartition by the FULL group key, sort groups
+        # contiguous, stream-encode whole partitions (no per-group
+        # applyInPandas — see _encode_stream), and the output is ALREADY
+        # sorted by th1 within each file for row-group pruning, so no
+        # post-encode repartition. th1-first sort nesting: groups stay
+        # contiguous (full group key in the sort) AND files keep ascending
+        # th1 → tight parquet row-group min/max for the query-side term
+        # filter (each file holds a hash-scattered SUBSET of terms, but the
+        # rows within it are th1-sorted, so row groups still cover narrow
+        # disjoint th1 ranges).
+        # Partitioning key (r8): hashing on `shard` alone capped the encode
+        # stage's parallelism at the part's shard count — 6 tasks for the
+        # wide-vocab bench geometry, ONE task for a 130k-doc big-shard part
+        # — which is the measured wide-vocab scaling floor (VERDICT r7 #2:
+        # 2→8 cores = 0.54). Groups only need to be contiguous within a
+        # partition, not co-located per shard (the query side re-groups by
+        # shard anyway), so hashing the full (shard, th1, th2, salt) key
+        # spreads the ~|vocab| tiny posting groups evenly over a
+        # scale-adaptive task count (≥ cluster parallelism, never fewer
+        # than the shard count) and also de-skews hot salted terms.
+        n_enc = ENCODE_PARTITIONS or max(
+            _spp(index_dir), spark.sparkContext.defaultParallelism
+        )
+        postings = (
+            enriched.repartition(max(2, n_enc), "shard", "th1", "th2", "salt")
+            .sortWithinPartitions("th1", "th2", "salt", "shard", "doc_int")
+            .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
+        )
+        # each part owns its own postings root → part builds can run
+        # CONCURRENTLY (disjoint output paths, no shared-directory
+        # partition-overwrite semantics to get wrong); readers discover
+        # bpart=*/ via normal partition inference.
+        # The manifest counters ride the write as an Observation (r8
+        # cont.): the separate read-back job existed only to fetch three
+        # sums (~0.3 s/part of pure job latency). Sibling-wipe detection is
+        # unchanged — finalize_index still reads the FINAL postings dir and
+        # compares it against these claimed counts.
+        obs_po = Observation()
+        postings.observe(
+            obs_po,
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+            F.coalesce(
+                F.sum(F.length("gaps") + F.length("tfs") + F.length("dls")),
+                F.lit(0),
+            ).alias("bytes"),
+        ).write.mode("overwrite").parquet(f"{index_dir}/postings/bpart={p}")
+        steps["encode"] = round(time.time() - t_s, 3)
+    finally:
+        # join the overlapped docmap write before leaving the part (on
+        # the error path its own failure must not mask the chain's)
+        dm_err = dm_fut.exception()
+        dm_pool.shutdown()
+    if dm_err is not None:
+        raise dm_err
     dm_stats = obs_dm.get
     n_docs_part, tokens_part = int(dm_stats["n"]), int(dm_stats["tokens"])
-    steps["docmap"] = round(time.time() - t_s, 3)
-    t_s = time.time()
-
-    # term strings leave the pipeline HERE: everything downstream keys
-    # on the fixed-width 128-bit hash pair (see POSTINGS_SCHEMA note)
-    tf = (
-        toks.select(
-            "doc_int",
-            F.col("dl").cast("long").alias("dl"),
-            F.explode("tokens").alias("term"),
-        )
-        .select("doc_int", "dl", *term_hash_cols(F.col("term")))
-        .groupBy("doc_int", "dl", "th1", "th2")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    tf = tf.persist()
-
-    vocab_part = tf.groupBy("th1", "th2").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").alias("cf"),
-    )
-    # th1-sorted within files so the query-side df/part lookup prunes
-    # row groups on its pushed In(th1) filter — same device as the
-    # postings payload (searchidx reads vocab_parts, not vocabulary).
-    # The hot-term (skew) set rides the same action as an Observation
-    # (r8) — the separate filter+collect job re-ran the vocab
-    # aggregation; hot terms are few by definition (df > salt_chunk),
-    # so the collect_list stays tiny.
-    obs_vp = Observation()
-    vocab_part.sortWithinPartitions("th1").observe(
-        obs_vp,
-        F.collect_list(
-            F.when(F.col("df") > salt_chunk, F.struct("th1", "th2", "df"))
-        ).alias("hot"),
-    ).write.mode("overwrite").parquet(
-        f"{index_dir}/vocab_parts/bpart={p}"
-    )
-
-    # hot terms (the skew set) are few — broadcast map, no join
-    hot = [
-        (int(r["th1"]), int(r["th2"]), min(-(-int(r["df"]) // salt_chunk), 64))
-        for r in obs_vp.get["hot"]
-    ]
-    steps["tf_vocab"] = round(time.time() - t_s, 3)
-    t_s = time.time()
-    if hot:
-        hot_df = spark.createDataFrame(
-            hot, "th1 long, th2 long, salt_count long"
-        )
-        tf_s = tf.join(F.broadcast(hot_df), ["th1", "th2"], "left").withColumn(
-            "salt_count", F.coalesce("salt_count", F.lit(1))
-        )
-    else:
-        tf_s = tf.withColumn("salt_count", F.lit(1))
-
-    enriched = tf_s.select(
-        "th1", "th2", "doc_int", "tf", "dl",
-        (F.col("doc_int") / shard_size).cast("long").alias("shard"),
-        (
-            (F.pmod(F.col("doc_int"), F.lit(shard_size)) * F.col("salt_count"))
-            / F.lit(shard_size)
-        ).cast("int").alias("salt"),
-    )
-    # ONE encode shuffle: repartition by the FULL group key, sort groups
-    # contiguous, stream-encode whole partitions (no per-group
-    # applyInPandas — see _encode_stream), and the output is ALREADY
-    # sorted by th1 within each file for row-group pruning, so no
-    # post-encode repartition. th1-first sort nesting: groups stay
-    # contiguous (full group key in the sort) AND files keep ascending
-    # th1 → tight parquet row-group min/max for the query-side term
-    # filter (each file holds a hash-scattered SUBSET of terms, but the
-    # rows within it are th1-sorted, so row groups still cover narrow
-    # disjoint th1 ranges).
-    # Partitioning key (r8): hashing on `shard` alone capped the encode
-    # stage's parallelism at the part's shard count — 6 tasks for the
-    # wide-vocab bench geometry, ONE task for a 130k-doc big-shard part
-    # — which is the measured wide-vocab scaling floor (VERDICT r7 #2:
-    # 2→8 cores = 0.54). Groups only need to be contiguous within a
-    # partition, not co-located per shard (the query side re-groups by
-    # shard anyway), so hashing the full (shard, th1, th2, salt) key
-    # spreads the ~|vocab| tiny posting groups evenly over a
-    # scale-adaptive task count (≥ cluster parallelism, never fewer
-    # than the shard count) and also de-skews hot salted terms.
-    n_enc = ENCODE_PARTITIONS or max(
-        _spp(index_dir), spark.sparkContext.defaultParallelism
-    )
-    postings = (
-        enriched.repartition(max(2, n_enc), "shard", "th1", "th2", "salt")
-        .sortWithinPartitions("th1", "th2", "salt", "shard", "doc_int")
-        .mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
-    )
-    # each part owns its own postings root → part builds can run
-    # CONCURRENTLY (disjoint output paths, no shared-directory
-    # partition-overwrite semantics to get wrong); readers discover
-    # bpart=*/ via normal partition inference
-    postings.write.mode("overwrite").parquet(f"{index_dir}/postings/bpart={p}")
-    steps["encode"] = round(time.time() - t_s, 3)
-    t_s = time.time()
 
     toks.unpersist()
     tf.unpersist()
-    written = spark.read.parquet(f"{index_dir}/postings/bpart={p}")
-    agg = written.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
-        F.coalesce(
-            F.sum(F.length("gaps") + F.length("tfs") + F.length("dls")), F.lit(0)
-        ).alias("bytes"),
-    ).collect()[0]
-    steps["verify"] = round(time.time() - t_s, 3)
+    agg = obs_po.get
     elapsed = time.time() - t0
     sh1 = shuffle_bytes(spark)
     # NB: with concurrent part builds the app-level delta attributes
@@ -770,16 +799,11 @@ def _spp(index_dir: str) -> int:
     return _SPP_CACHE[index_dir]
 
 
-def finalize_index(
-    spark: SparkSession,
-    index_dir: str,
-    k1: float,
-    b: float,
-    min_token_length: int,
-    shard_size: int,
-    salt_chunk: int,
-) -> dict:
-    """Merge vocab partials, compute collection stats, write meta."""
+def _merged_vocab_frame(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged-vocabulary frame finalize_index writes (exposed for
+    the plan gate: test_plan_shapes pins that the merge carries NO
+    range exchange — a range exchange's boundary sampler executes the
+    whole merge aggregation a second time)."""
     vocab_schema = (
         "th1 long, th2 long, document_frequency long, "
         "collection_frequency long, bparts array<int>"
@@ -814,52 +838,90 @@ def finalize_index(
                 F.when(F.size("ba") <= F.lit(_CAP), F.col("ba")),
             )
             .drop("ba")
-            # th1-range-sorted files → the lookup's In(th1) filter
-            # row-group-prunes the merged table too
-            .repartitionByRange(nparts, "th1")
+            # th1-HASH-partitioned, th1-sorted WITHIN files (r8 cont.):
+            # the lookup's pushed In(th1) filter prunes via row-group
+            # min/max stats, which only need the within-file sort order
+            # — the same device as the encode stage's output files. The
+            # previous repartitionByRange bought globally disjoint file
+            # ranges at the cost of the range sampler EXECUTING THE
+            # MERGE AGGREGATION A SECOND TIME (a range exchange samples
+            # its child plan to pick boundaries; the child here is the
+            # whole groupBy + collect_set reduce, not a cached scan).
+            .repartition(nparts, "th1")
             .sortWithinPartitions("th1", "th2")
         )
     else:
         vocab = spark.createDataFrame([], vocab_schema)
-    vocab.write.mode("overwrite").parquet(f"{index_dir}/vocabulary")
+    return vocab
 
-    if os.path.isdir(f"{index_dir}/docmap"):
-        docmap = spark.read.parquet(f"{index_dir}/docmap")
-    else:
-        docmap = spark.createDataFrame(
-            [], "doc_id string, doc_int long, dl long, fp string"
+
+def finalize_index(
+    spark: SparkSession,
+    index_dir: str,
+    k1: float,
+    b: float,
+    min_token_length: int,
+    shard_size: int,
+    salt_chunk: int,
+) -> dict:
+    """Merge vocab partials, compute collection stats, write meta."""
+    vocab = _merged_vocab_frame(spark, index_dir)
+    # the vocab merge shares nothing with the docmap stats / integrity
+    # jobs below — run it on a helper thread so Spark schedules them
+    # together (guide §2.6) instead of three sequential barriers
+    from concurrent.futures import ThreadPoolExecutor
+
+    fin_pool = ThreadPoolExecutor(max_workers=1)
+    vocab_fut = fin_pool.submit(
+        lambda: vocab.write.mode("overwrite").parquet(
+            f"{index_dir}/vocabulary"
         )
-    tomb = load_tombstones(index_dir)
-    if tomb:
-        docmap = docmap.filter(~F.col("doc_int").isin([int(x) for x in tomb]))
-    cs = docmap.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("total"),
-    ).collect()[0]
-    n_docs, total_terms = int(cs["n"]), int(cs["total"])
-    avgdl = total_terms / n_docs if n_docs else 0.0
-
-    parts = []
-    mdir = f"{index_dir}/manifest"
-    if os.path.isdir(mdir):
-        for fn in sorted(os.listdir(mdir)):
-            if fn.endswith(".json"):
-                with open(f"{mdir}/{fn}") as fh:
-                    parts.append(json.load(fh))
-    total_secs = sum(pm.get("build_seconds", 0) for pm in parts)
-
-    # integrity gate: the FINAL postings dir must hold exactly the sum
-    # of what the per-part manifests claim (guards against partition-
-    # overwrite modes silently wiping sibling shards)
-    manifest_postings = sum(pm.get("n_postings", 0) for pm in parts)
+    )
     try:
-        final_postings = int(
-            spark.read.parquet(f"{index_dir}/postings")
-            .agg(F.coalesce(F.sum("n"), F.lit(0)))
-            .collect()[0][0]
-        )
-    except Exception:
-        final_postings = 0
+        if os.path.isdir(f"{index_dir}/docmap"):
+            docmap = spark.read.parquet(f"{index_dir}/docmap")
+        else:
+            docmap = spark.createDataFrame(
+                [], "doc_id string, doc_int long, dl long, fp string"
+            )
+        tomb = load_tombstones(index_dir)
+        if tomb:
+            docmap = docmap.filter(
+                ~F.col("doc_int").isin([int(x) for x in tomb])
+            )
+        cs = docmap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("total"),
+        ).collect()[0]
+        n_docs, total_terms = int(cs["n"]), int(cs["total"])
+        avgdl = total_terms / n_docs if n_docs else 0.0
+
+        parts = []
+        mdir = f"{index_dir}/manifest"
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                if fn.endswith(".json"):
+                    with open(f"{mdir}/{fn}") as fh:
+                        parts.append(json.load(fh))
+        total_secs = sum(pm.get("build_seconds", 0) for pm in parts)
+
+        # integrity gate: the FINAL postings dir must hold exactly the
+        # sum of what the per-part manifests claim (guards against
+        # partition-overwrite modes silently wiping sibling shards)
+        manifest_postings = sum(pm.get("n_postings", 0) for pm in parts)
+        try:
+            final_postings = int(
+                spark.read.parquet(f"{index_dir}/postings")
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .collect()[0][0]
+            )
+        except Exception:
+            final_postings = 0
+    finally:
+        vocab_err = vocab_fut.exception()
+        fin_pool.shutdown()
+    if vocab_err is not None:
+        raise vocab_err
     if final_postings != manifest_postings:
         raise RuntimeError(
             f"index integrity violation: postings dir holds {final_postings} "

@@ -59,6 +59,20 @@ def test_docmap_scan_pushes_id_filter(spark, index_dir):
     assert "In(doc_int" in plan, plan
 
 
+def test_vocab_merge_plan_has_no_range_exchange(spark, index_dir):
+    """r8: the merged-vocabulary write must hash-partition on th1, not
+    range-partition — a range exchange's boundary sampler EXECUTES the
+    whole merge aggregation a second time (its child is the groupBy +
+    collect_set reduce, not a cached scan). Row-group pruning for the
+    query-side In(th1) lookup only needs the within-file sort order,
+    which sortWithinPartitions supplies either way."""
+    from oboyu_spark.operators.postings import _merged_vocab_frame
+
+    plan = _plan(_merged_vocab_frame(spark, index_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(th1" in plan, plan
+
+
 def test_relational_bm25_joins_are_broadcast(spark, corpus):
     plan = _plan(B.bm25_search(corpus, "spark index", k=5))
     assert "CartesianProduct" not in plan, plan

@@ -77,6 +77,43 @@ def test_manifest_lineage_and_metrics(spark, tmp_path):
     assert all(r["tokens_per_sec"] is not None for r in rows)
 
 
+def test_manifest_counts_match_written_files(spark, tmp_path):
+    """r8: the per-part manifest counters ride the postings write as an
+    Observation instead of a separate read-back job — pin that the
+    claimed counts still equal what is actually ON DISK for each part
+    (the finalize integrity gate compares only the global sum)."""
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark)
+    d = str(tmp_path / "idx")
+    meta = build_index(docs, d, **KW)
+    assert meta["n_parts"] > 1
+    for fn in sorted(os.listdir(f"{d}/manifest")):
+        with open(f"{d}/manifest/{fn}") as fh:
+            row = json.load(fh)
+        disk = (
+            spark.read.parquet(f"{d}/postings/bpart={row['bpart']}")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+                F.coalesce(
+                    F.sum(
+                        F.length("gaps") + F.length("tfs") + F.length("dls")
+                    ),
+                    F.lit(0),
+                ).alias("bytes"),
+            )
+            .collect()[0]
+        )
+        assert row["posting_rows"] == int(disk["rows"])
+        assert row["n_postings"] == int(disk["postings"])
+        assert row["compressed_payload_bytes"] == int(disk["bytes"])
+        ndocs_disk = (
+            spark.read.parquet(f"{d}/docmap/bpart={row['bpart']}").count()
+        )
+        assert row["n_docs"] == ndocs_disk
+
+
 def test_append_matches_full_rebuild_oracle(spark, tmp_path):
     from pyspark.sql import functions as F
 
