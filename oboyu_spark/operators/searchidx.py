@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import threading
+import time
 from typing import Callable, Sequence
 
 import numpy as np
@@ -539,7 +540,9 @@ def _search(
                 df_by_hash[h], parts_by_hash[h] = cached
         else:
             missing.append(h)
+    stage_secs: dict[str, float] = {}
     if missing:
+        _t_vocab = time.time()
         vp = vocab_parts_table()
         miss_h1 = sorted({h1 for h1, _ in missing})
         miss_set = set(missing)
@@ -613,6 +616,7 @@ def _search(
                     for h in missing
                 }
             )
+        stage_secs["vocab"] = round(time.time() - _t_vocab, 4)
     for h, df in df_by_hash.items():
         if df is not None and n_docs - df + 0.5 <= 0:
             raise ValueError(
@@ -651,6 +655,10 @@ def _search(
     # listing the explicit-path read exists to skip.
     part_sets = [parts_by_hash.get(h) for h in idf_by_hash]
     _LAST_SCAN_INFO.clear()
+    # per-stage wall clocks of this search's sequential driver steps
+    # (diagnostic, like live_parts — serving observability + the r8
+    # latency-floor profile)
+    _LAST_SCAN_INFO["stage_seconds"] = stage_secs
     _LAST_SCAN_INFO["live_parts"] = None
     live_parts = None
     if all(ps is not None for ps in part_sets):
@@ -750,7 +758,9 @@ def _search(
         # small candidate set: collect the shard winners directly and
         # rank-cut on the driver — skips the window's shuffle exchange
         # (one fewer stage on the latency path; p50 matters in serving)
+        _t_sc = time.time()
         top_rows = _driver_rank_cut(local.collect(), k)
+        stage_secs["scatter"] = round(time.time() - _t_sc, 4)
         if not top_rows:
             return ret_empty()
         # winners are driver-known ids → hydrate driver-side: one
@@ -763,6 +773,7 @@ def _search(
         miss = [i for i in ids if i not in known]
         fetched: dict[int, str] = {}
         if miss:
+            _t_hy = time.time()
             rows = (
                 _docmap_for_ids(
                     dfs["docmap"] if dfs is not None else None, meta,
@@ -771,6 +782,7 @@ def _search(
                 .select("doc_int", "doc_id")
                 .collect()
             )
+            stage_secs["hydrate"] = round(time.time() - _t_hy, 4)
             fetched = {int(r["doc_int"]): r["doc_id"] for r in rows}
             if (docmap_cache is not None
                     and len(docmap_cache) < IndexReader.DOCMAP_CACHE_MAX):
@@ -800,12 +812,14 @@ def _search(
     # by doc_int, so parquet min/max stats prune to the few row groups
     # containing winners instead of scanning all 10^12 rows
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+    _t_sc = time.time()
     top_rows = (
         local.withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") <= k)
         .drop("rnk")
         .collect()
     )
+    stage_secs["scatter"] = round(time.time() - _t_sc, 4)
     if not top_rows:
         return ret_empty()
     ids = sorted({int(r["doc_int"]) for r in top_rows})

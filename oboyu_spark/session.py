@@ -34,21 +34,40 @@ def _warm_jit(spark: SparkSession) -> None:
 
     from pyspark.sql import functions as F
 
-    (spark.range(0, 100_000, 1, 8)
+    # every stage runs at FULL parallelism (r8 cont.): the first cut of
+    # this warmup used 4-8 partitions, which spawns only 4-8 of the
+    # per-core Python worker daemons and initializes the parquet writer
+    # on as few cores — the first real 32-task build then still paid
+    # ~8 s of worker spawn + numpy/pandas import + writer init on the
+    # remaining cold cores (measured: first build 17.7 s vs 8.9 s warm
+    # at bench geometry AFTER the narrow warmup)
+    par = max(4, spark.sparkContext.defaultParallelism)
+    (spark.range(0, 100_000, 1, par)
      .select("id", F.explode(
          F.split(F.repeat(F.lit("a b c "), 3), " ")).alias("t"))
      .groupBy("t").count().count())
     d = tempfile.mkdtemp(prefix="spark_warm_")
     try:
-        (spark.range(0, 20_000, 1, 4)
+        (spark.range(0, 50 * par, 1, par)
          .select("id", F.format_string("s%d", F.col("id")).alias("s"))
-         .repartitionByRange(4, "id").sortWithinPartitions("id")
+         .repartitionByRange(par, "id").sortWithinPartitions("id")
          .write.mode("overwrite").parquet(d))
         spark.read.parquet(d).groupBy().count().collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    (spark.range(0, 5_000, 1, 4)
-     .mapInPandas(lambda it: it, schema="id long")
+
+    def _warm_pandas(it):
+        # the heavy per-worker one-time cost is the import chain the
+        # real encode/embed tasks pull in — pay it here, once per
+        # worker daemon (spark.python.worker.reuse keeps them alive)
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for batch in it:
+            yield batch
+
+    (spark.range(0, 50 * par, 1, par)
+     .mapInPandas(_warm_pandas, schema="id long")
      .write.format("noop").mode("overwrite").save())
 
 
